@@ -1,0 +1,127 @@
+"""User-facing API facade (SURVEY.md section 1.2, layer "API").
+
+The reference exposes its pipeline through a C++ ``main()`` driver; here the
+equivalent surface is a small object-oriented facade over the pure-functional
+models/inference tiers: ``GP.fit`` / ``GP.predict`` /
+``GP.log_marginal_likelihood`` / ``GP.sample_hyperparams`` / ``GP.fit_vi``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from cugp_tpu.models import exact_gp
+from cugp_tpu.ops import kernels as kernel_ops
+
+
+@dataclasses.dataclass
+class GP:
+    """Exact Gaussian-process regression on TPU.
+
+    Parameters
+    ----------
+    kind: kernel family — 'rbf' | 'matern12' | 'matern32' | 'matern52'.
+    jitter: diagonal jitter (times signal variance) for PD safety.
+    method: ops backend — 'auto' | 'xla' | 'blocked' | 'pallas'.
+    """
+
+    kind: str = "rbf"
+    jitter: float = 1e-6
+    method: str = "auto"
+    params: Optional[dict] = None
+    X: Optional[Any] = None
+    y: Optional[Any] = None
+
+    def _data(self, X, y):
+        X = jnp.asarray(X, dtype=jnp.float32)
+        y = jnp.asarray(y, dtype=jnp.float32)
+        return X, y
+
+    def fit(self, X, y, *, steps=200, optimizer="adam", learning_rate=0.05,
+            init=None, key=None):
+        """MAP hyperparameter fit by maximizing the LML (inference/map_opt)."""
+        from cugp_tpu.inference import map_opt
+
+        X, y = self._data(X, y)
+        if init is None:
+            init = kernel_ops.init_params(d=X.shape[1])
+        params, info = map_opt.fit(
+            init, X, y, kind=self.kind, jitter=self.jitter, method=self.method,
+            steps=steps, optimizer=optimizer, learning_rate=learning_rate,
+        )
+        self.params, self.X, self.y = params, X, y
+        return info
+
+    def condition(self, X, y, params=None):
+        """Attach data (and optionally hyperparameters) without fitting."""
+        self.X, self.y = self._data(X, y)
+        if params is not None:
+            self.params = {k: jnp.asarray(v, jnp.float32) for k, v in params.items()}
+        elif self.params is None:
+            self.params = kernel_ops.init_params(d=self.X.shape[1])
+        return self
+
+    def log_marginal_likelihood(self, params=None):
+        p = params if params is not None else self.params
+        return exact_gp.log_marginal_likelihood(
+            p, self.X, self.y, kind=self.kind, jitter=self.jitter,
+            method=self.method,
+        )
+
+    def predict(self, Xs, *, include_noise=False, full_cov=False, batch=4096):
+        """Posterior mean/variance at Xs, tiled over test batches."""
+        Xs = jnp.asarray(Xs, dtype=jnp.float32)
+        if full_cov:
+            return exact_gp.posterior_full_cov(
+                self.params, self.X, self.y, Xs, kind=self.kind,
+                jitter=self.jitter, method=self.method,
+            )
+        m = Xs.shape[0]
+        if m <= batch:
+            return exact_gp.posterior(
+                self.params, self.X, self.y, Xs, kind=self.kind,
+                jitter=self.jitter, method=self.method,
+                include_noise=include_noise,
+            )
+        mus, vars_ = [], []
+        for lo in range(0, m, batch):
+            mu, var = exact_gp.posterior(
+                self.params, self.X, self.y, Xs[lo:lo + batch], kind=self.kind,
+                jitter=self.jitter, method=self.method,
+                include_noise=include_noise,
+            )
+            mus.append(np.asarray(mu))
+            vars_.append(np.asarray(var))
+        return np.concatenate(mus), np.concatenate(vars_)
+
+    def sample_hyperparams(self, *, num_samples=512, num_chains=8,
+                           num_warmup=256, sampler="nuts", key=None,
+                           init=None, max_tree_depth=8):
+        """Posterior over hyperparameters via NUTS/HMC (inference tier)."""
+        from cugp_tpu.inference import sampling
+
+        if init is None:
+            init = self.params or kernel_ops.init_params(d=self.X.shape[1])
+        return sampling.sample_hyperparams(
+            init, self.X, self.y, kind=self.kind, jitter=self.jitter,
+            method=self.method, num_samples=num_samples, num_chains=num_chains,
+            num_warmup=num_warmup, sampler=sampler, key=key,
+            max_tree_depth=max_tree_depth,
+        )
+
+    def fit_vi(self, *, steps=2000, learning_rate=0.01, rank="meanfield",
+               num_mc=8, key=None, init=None):
+        """Variational posterior over hyperparameters (inference/vi)."""
+        from cugp_tpu.inference import vi
+
+        if init is None:
+            init = self.params or kernel_ops.init_params(d=self.X.shape[1])
+        return vi.fit(
+            init, self.X, self.y, kind=self.kind, jitter=self.jitter,
+            method=self.method, steps=steps, learning_rate=learning_rate,
+            rank=rank, num_mc=num_mc, key=key,
+        )

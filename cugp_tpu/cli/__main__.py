@@ -1,0 +1,152 @@
+"""CLI driver — the reference's ``main()`` equivalent (SURVEY.md section 1.2).
+
+Usage:
+  python -m cugp_tpu.cli fit     [--data.n=8000 --model.kind=rbf ...]
+  python -m cugp_tpu.cli predict [--data.n=1000 ...]
+  python -m cugp_tpu.cli sample  [--sample.num_chains=256 ...]
+  python -m cugp_tpu.cli vi      [...]
+  python -m cugp_tpu.cli info
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+from cugp_tpu.utils import config as config_lib
+
+
+def _load_data(cfg):
+    from cugp_tpu.data import synthetic
+
+    d = cfg.data
+    if d.dataset == "sinusoid":
+        X, y, _ = synthetic.sinusoid_1d(n=d.n, noise_std=d.noise_std, seed=d.seed)
+    elif d.dataset == "multidim":
+        X, y, _ = synthetic.multidim_regression(n=d.n, d=d.d,
+                                                noise_std=d.noise_std,
+                                                seed=d.seed)
+    elif d.dataset == "gp_draw":
+        X, y, _ = synthetic.gp_draw(n=d.n, d=d.d, seed=d.seed,
+                                    kind=cfg.model.kind)
+    elif d.dataset == "npz":
+        blob = np.load(d.path)
+        X, y = blob["X"], blob["y"]
+    else:
+        raise ValueError(f"unknown dataset: {d.dataset}")
+    return X, y
+
+
+def _make_gp(cfg):
+    from cugp_tpu.api import GP
+
+    return GP(kind=cfg.model.kind, jitter=cfg.model.jitter,
+              method=cfg.model.method)
+
+
+def cmd_fit(cfg):
+    X, y = _load_data(cfg)
+    gp = _make_gp(cfg)
+    t0 = time.perf_counter()
+    info = gp.fit(X, y, steps=cfg.fit.steps, optimizer=cfg.fit.optimizer,
+                  learning_rate=cfg.fit.learning_rate)
+    dt = time.perf_counter() - t0
+    out = {
+        "lml": float(info["lml"]),
+        "seconds": round(dt, 3),
+        "params": {k: np.asarray(v).tolist() for k, v in gp.params.items()},
+    }
+    print(json.dumps(out, indent=2))
+    return gp
+
+
+def cmd_predict(cfg):
+    gp = cmd_fit(cfg)
+    X = np.asarray(gp.X)
+    lo, hi = X.min(axis=0), X.max(axis=0)
+    Xs = np.linspace(lo, hi, 256).reshape(256, -1)
+    mu, var = gp.predict(Xs)
+    print(json.dumps({
+        "mu_head": np.asarray(mu)[:8].tolist(),
+        "var_head": np.asarray(var)[:8].tolist(),
+    }, indent=2))
+
+
+def cmd_sample(cfg):
+    X, y = _load_data(cfg)
+    gp = _make_gp(cfg)
+    gp.condition(X, y)
+    t0 = time.perf_counter()
+    res = gp.sample_hyperparams(
+        num_samples=cfg.sample.num_samples, num_chains=cfg.sample.num_chains,
+        num_warmup=cfg.sample.num_warmup, sampler=cfg.sample.sampler,
+        max_tree_depth=cfg.sample.max_tree_depth,
+    )
+    dt = time.perf_counter() - t0
+    stats = {
+        k: {"mean": np.asarray(v).mean(axis=(0, 1)).tolist(),
+            "std": np.asarray(v).std(axis=(0, 1)).tolist()}
+        for k, v in res["samples"].items()
+    }
+    print(json.dumps({
+        "seconds": round(dt, 3),
+        "accept_rate": float(np.asarray(res["accept_rate"]).mean()),
+        "posterior": stats,
+    }, indent=2))
+
+
+def cmd_vi(cfg):
+    X, y = _load_data(cfg)
+    gp = _make_gp(cfg)
+    gp.condition(X, y)
+    res = gp.fit_vi(steps=cfg.fit.steps, learning_rate=cfg.fit.learning_rate)
+    print(json.dumps({
+        "elbo": float(np.asarray(res["elbo"])[-1]),
+        "mean": {k: np.asarray(v).tolist() for k, v in res["mean"].items()},
+    }, indent=2))
+
+
+def cmd_info(cfg):
+    import jax
+
+    print(json.dumps({
+        "backend": jax.default_backend(),
+        "devices": [str(d) for d in jax.devices()],
+        "config": json.loads(config_lib.to_json(cfg)),
+    }, indent=2))
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or argv[0] in ("-h", "--help"):
+        print(__doc__)
+        return 0
+    cmd, argv = argv[0], argv[1:]
+    # --platform=cpu|tpu must be handled before jax initializes; the site
+    # env pins JAX_PLATFORMS=axon so only jax.config can override it.
+    for arg in list(argv):
+        if arg.startswith("--platform="):
+            import jax
+
+            jax.config.update("jax_platforms", arg.split("=", 1)[1])
+            argv.remove(arg)
+    cfg, rest = config_lib.parse_overrides(argv)
+    if rest:
+        print(f"unrecognized args: {rest}", file=sys.stderr)
+        return 2
+    fn = {
+        "fit": cmd_fit, "predict": cmd_predict, "sample": cmd_sample,
+        "vi": cmd_vi, "info": cmd_info,
+    }.get(cmd)
+    if fn is None:
+        print(f"unknown command: {cmd}\n{__doc__}", file=sys.stderr)
+        return 2
+    fn(cfg)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,78 @@
+"""Synthetic regression datasets — component C13 (SURVEY.md section 2).
+
+The reference ships text datasets / generator scripts for its example
+regressions [SURVEY.md section 2, C13]. Here: seeded generators for the config
+ladder (BASELINE.json:7-8) — the 1D sinusoid (config 1) and multi-dim
+regression from a known-GP draw (config 2) — plus host-sharding helpers for
+multi-host runs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def sinusoid_1d(n=1000, noise_std=0.1, seed=0, x_range=(-3.0, 3.0)):
+    """Config-1 dataset: y = sin(3x) + 0.5 x + noise, X in x_range."""
+    rng = np.random.default_rng(seed)
+    X = rng.uniform(x_range[0], x_range[1], size=(n, 1))
+    X = np.sort(X, axis=0)
+    f = np.sin(3.0 * X[:, 0]) + 0.5 * X[:, 0]
+    y = f + noise_std * rng.standard_normal(n)
+    return X.astype(np.float64), y.astype(np.float64), f.astype(np.float64)
+
+
+def multidim_regression(n=8000, d=4, noise_std=0.2, seed=0):
+    """Config-2 dataset: smooth nonlinear function of d inputs + noise."""
+    rng = np.random.default_rng(seed)
+    X = rng.uniform(-2.0, 2.0, size=(n, d))
+    w = rng.standard_normal(d) / np.sqrt(d)
+    f = np.sin(X @ w * 2.0) + 0.3 * np.cos(1.5 * X[:, 0]) + 0.2 * (X**2 @ w)
+    y = f + noise_std * rng.standard_normal(n)
+    return X.astype(np.float64), y.astype(np.float64), f.astype(np.float64)
+
+
+def gp_draw(n=512, d=2, lengthscale=0.7, signal_var=1.5, noise_var=0.05,
+            seed=0, kind="rbf"):
+    """Data drawn from a GP with KNOWN hyperparameters (recovery tests)."""
+    from cugp_tpu.oracle import exact_gp_np as oracle
+
+    rng = np.random.default_rng(seed)
+    X = rng.uniform(-2.0, 2.0, size=(n, d))
+    params = {
+        "log_lengthscale": np.full((d,), np.log(lengthscale)),
+        "log_signal_var": np.log(signal_var),
+        "log_noise_var": np.log(noise_var),
+    }
+    K = oracle.kernel_matrix(params, X, X, kind) + 1e-10 * np.eye(n)
+    Lf = np.linalg.cholesky(K)
+    f = Lf @ rng.standard_normal(n)
+    y = f + np.sqrt(noise_var) * rng.standard_normal(n)
+    return X, y, params
+
+
+def pad_dataset(X, y, n_padded):
+    """Zero-pad (X, y) rows up to n_padded.
+
+    The covariance builder must be told the true row count so that padded
+    diagonal entries are set to 1 and padded off-diagonals to 0 (identity
+    block), which makes Cholesky/LML of the padded system exactly equal to
+    the unpadded one (padded log-diag terms are log 1 = 0 and padded alpha
+    entries are 0).
+    """
+    n, d = X.shape
+    assert n_padded >= n
+    Xp = np.zeros((n_padded, d), dtype=X.dtype)
+    yp = np.zeros((n_padded,), dtype=y.dtype)
+    Xp[:n] = X
+    yp[:n] = y
+    return Xp, yp
+
+
+def host_shard(X, y, process_index, process_count):
+    """Contiguous row shard for this host (multi-host data feeding)."""
+    n = X.shape[0]
+    per = n // process_count
+    lo = process_index * per
+    hi = n if process_index == process_count - 1 else lo + per
+    return X[lo:hi], y[lo:hi]

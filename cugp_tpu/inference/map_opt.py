@@ -1,0 +1,96 @@
+"""MAP hyperparameter optimization — component C7 (SURVEY.md section 2).
+
+The reference runs a host-side gradient-ascent/CG loop over hyperparameters
+(BASELINE.json:5, "host-side conjugate-gradient/optimizer loop"); the
+TPU-native translation is a jitted ``lax.scan`` over optimizer steps — the
+entire fit is ONE XLA program with no host round-trips (BASELINE.json:5,
+"-> jitted lax.scan"). Optimizers: Adam and L-BFGS (both optax), per
+BASELINE.json:8.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from cugp_tpu.models import exact_gp
+
+
+def _neg_lml(params, X, y, kind, jitter, method):
+    return -exact_gp.log_marginal_likelihood(
+        params, X, y, kind=kind, jitter=jitter, method=method
+    )
+
+
+# Box constraints on log-hyperparameters. fp32 Cholesky fails (NaN) when the
+# optimizer wanders into tiny-noise / huge-lengthscale corners where
+# cond(K) ~ N*sf2/sn2 overflows fp32 resolution; these bounds keep every
+# iterate factorizable (SURVEY.md section 7, hard part 1).
+_BOUNDS = {
+    "log_lengthscale": (-6.0, 6.0),
+    "log_signal_var": (-8.0, 8.0),
+    "log_noise_var": (-9.0, 5.0),
+}
+
+
+def _clamp(params):
+    out = dict(params)
+    for k, (lo, hi) in _BOUNDS.items():
+        if k in out:
+            out[k] = jnp.clip(out[k], lo, hi)
+    return out
+
+
+@partial(
+    jax.jit,
+    static_argnames=("kind", "jitter", "method", "steps", "optimizer",
+                     "learning_rate"),
+)
+def _fit_scan(params, X, y, kind, jitter, method, steps, optimizer,
+              learning_rate):
+    loss_fn = partial(_neg_lml, X=X, y=y, kind=kind, jitter=jitter, method=method)
+
+    if optimizer == "adam":
+        # skip (don't apply) any non-finite update instead of poisoning the
+        # Adam state; combined with _clamp this keeps the scan NaN-free
+        tx = optax.apply_if_finite(optax.adam(learning_rate), 1000)
+    elif optimizer == "lbfgs":
+        tx = optax.lbfgs(learning_rate=None)
+    else:
+        raise ValueError(f"unknown optimizer: {optimizer}")
+
+    opt_state = tx.init(params)
+
+    def step(carry, _):
+        p, s = carry
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        if optimizer == "lbfgs":
+            updates, s = tx.update(
+                grads, s, p, value=loss, grad=grads, value_fn=loss_fn
+            )
+        else:
+            updates, s = tx.update(grads, s, p)
+        p = _clamp(optax.apply_updates(p, updates))
+        return (p, s), loss
+
+    (params, _), losses = jax.lax.scan(step, (params, opt_state), None,
+                                       length=steps)
+    return params, losses
+
+
+def fit(init_params, X, y, *, kind="rbf", jitter=1e-6, method="auto",
+        steps=200, optimizer="adam", learning_rate=0.05):
+    """Maximize the LML over log-hyperparameters.
+
+    Returns (params, info) where info = {"loss": (steps,) negative-LML trace,
+    "lml": final LML}.
+    """
+    params, losses = _fit_scan(
+        init_params, X, y, kind, jitter, method, steps, optimizer,
+        learning_rate,
+    )
+    info = {"loss": losses, "lml": -losses[-1]}
+    return params, info

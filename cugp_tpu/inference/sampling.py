@@ -1,0 +1,103 @@
+"""Facade over HMC/NUTS for hyperparameter posteriors (api.GP entry point).
+
+Flattens the log-space param dict to a vector, builds the posterior
+log-density (LML + prior), dispatches to hmc/nuts, and unflattens samples.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.flatten_util import ravel_pytree
+
+from cugp_tpu.inference import hmc as hmc_lib
+from cugp_tpu.inference import nuts as nuts_lib
+from cugp_tpu.models import exact_gp
+
+
+def make_flat_logprob(init_params, X, y, kind="rbf", jitter=1e-6,
+                      method="auto", log_prior=hmc_lib.default_log_prior):
+    """Returns (logprob_and_grad over flat q, unravel, q0_flat)."""
+    q0, unravel = ravel_pytree(init_params)
+
+    def lml_fn(q):
+        return exact_gp.log_marginal_likelihood(
+            unravel(q), X, y, kind=kind, jitter=jitter, method=method)
+
+    return hmc_lib.make_logprob(lml_fn, log_prior), unravel, q0
+
+
+def init_chains(q0, key, n_chains, scale=0.2):
+    """Overdispersed chain initializations around q0."""
+    noise = scale * jax.random.normal(key, (n_chains, q0.shape[0]))
+    return q0[None, :] + noise
+
+
+def sample_hyperparams(init_params, X, y, *, kind="rbf", jitter=1e-6,
+                       method="auto", num_samples=512, num_chains=8,
+                       num_warmup=256, sampler="nuts", key=None,
+                       max_tree_depth=8, eps0=0.1, target_accept=0.8,
+                       log_prior=hmc_lib.default_log_prior):
+    """NUTS/HMC posterior over kernel hyperparameters.
+
+    Returns dict with "samples": pytree of (num_samples, n_chains, ...)
+    arrays in log-space, plus sampler diagnostics.
+    """
+    if key is None:
+        key = jax.random.key(0)
+    key_init, key_run = jax.random.split(key)
+    logprob_and_grad, unravel, q0 = make_flat_logprob(
+        init_params, X, y, kind=kind, jitter=jitter, method=method,
+        log_prior=log_prior)
+    qs0 = init_chains(q0, key_init, num_chains)
+
+    if sampler == "nuts":
+        out = nuts_lib.run_nuts(
+            qs0, key_run, logprob_and_grad, max_depth=max_tree_depth,
+            num_warmup=num_warmup, num_samples=num_samples, eps0=eps0,
+            target_accept=target_accept)
+    elif sampler == "hmc":
+        out = hmc_lib.run_hmc(
+            qs0, key_run, logprob_and_grad, n_leapfrog=32,
+            num_warmup=num_warmup, num_samples=num_samples, eps0=eps0,
+            target_accept=target_accept)
+    else:
+        raise ValueError(f"unknown sampler: {sampler}")
+
+    flat = out.pop("samples_flat")  # (S, C, dim)
+    samples = jax.vmap(jax.vmap(unravel))(flat)
+    out["samples"] = samples
+    return out
+
+
+def potential_scale_reduction(x):
+    """Split-R-hat over (num_samples, n_chains) scalar draws."""
+    x = jnp.asarray(x)
+    s, c = x.shape
+    half = s // 2
+    x = jnp.concatenate([x[:half], x[half:2 * half]], axis=1)  # (half, 2c)
+    n, m = x.shape
+    chain_means = x.mean(axis=0)
+    chain_vars = x.var(axis=0, ddof=1)
+    w = chain_vars.mean()
+    b = n * chain_means.var(ddof=1)
+    var_est = (n - 1) / n * w + b / n
+    return jnp.sqrt(var_est / w)
+
+
+def effective_sample_size(x, max_lag=100):
+    """Crude ESS via initial positive-sequence autocorrelation sum."""
+    x = jnp.asarray(x)
+    s, c = x.shape
+    xc = x - x.mean(axis=0, keepdims=True)
+    var = jnp.mean(xc * xc, axis=0) + 1e-12
+
+    def rho(lag):
+        return jnp.mean(xc[:-lag] * xc[lag:], axis=0) / var
+
+    lags = [rho(l) for l in range(1, min(max_lag, s - 1))]
+    rhos = jnp.stack(lags)  # (L, c)
+    # truncate at first negative autocorrelation (per chain)
+    pos = jnp.cumprod(rhos > 0, axis=0).astype(rhos.dtype)
+    tau = 1.0 + 2.0 * jnp.sum(rhos * pos, axis=0)
+    return jnp.sum(s / jnp.maximum(tau, 1.0))

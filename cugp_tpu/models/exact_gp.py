@@ -1,0 +1,139 @@
+"""Exact GP regression model — components C5/C6 (SURVEY.md section 2).
+
+Pure functions composing the ops tier (C1 covariance, C2 Cholesky, C4 TRSM)
+into the log-marginal likelihood, its gradients (via jax.grad through the
+custom-VJP Cholesky), and the posterior predictive. This is the TPU-native
+analog of the reference's hand-derived CUDA LML/gradient kernels
+(BASELINE.json:5, "log-marginal-likelihood gradients for hyperparameter
+learning", "triangular solves for the posterior mean/variance").
+
+Everything here is jit-compatible and differentiable; the whole fit loop runs
+as ONE XLA program (see inference/map_opt.py) with no host round-trips,
+replacing the reference's host-side optimizer loop.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from cugp_tpu.ops import cholesky as chol_ops
+from cugp_tpu.ops import kernels as kernel_ops
+from cugp_tpu.ops import trsm as trsm_ops
+
+LOG2PI = math.log(2.0 * math.pi)
+
+
+def _factorize(params, X, y, kind, jitter, method):
+    """K -> L, alpha = K^{-1} y."""
+    K = kernel_ops.train_covariance(params, X, kind=kind, jitter=jitter, method=method)
+    L = chol_ops.cholesky(K, method=method)
+    alpha = trsm_ops.cho_solve(L, y, method="xla" if method == "auto" else method)
+    return L, alpha
+
+
+@partial(jax.jit, static_argnames=("kind", "jitter", "method"))
+def log_marginal_likelihood(params, X, y, kind="rbf", jitter=1e-6, method="auto"):
+    """LML = -1/2 y^T alpha - sum_i log L_ii - N/2 log 2pi.
+
+    Differentiable w.r.t. params via the custom Cholesky VJP; supports
+    padded inputs (pad X rows with zeros far from data and y with zeros —
+    see data/padding docs) because padded diagonal entries contribute
+    log(1)=0 when the covariance builder marks them.
+    """
+    L, alpha = _factorize(params, X, y, kind, jitter, method)
+    n = y.shape[-1]
+    logdet_half = jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1)
+    quad = jnp.sum(y * alpha, axis=-1)
+    return -0.5 * quad - logdet_half - 0.5 * n * LOG2PI
+
+
+lml_value_and_grad = jax.jit(
+    jax.value_and_grad(log_marginal_likelihood),
+    static_argnames=("kind", "jitter", "method"),
+)
+
+
+@partial(jax.jit, static_argnames=("kind", "jitter", "method", "include_noise"))
+def posterior(params, X, y, Xs, kind="rbf", jitter=1e-6, method="auto",
+              include_noise=False):
+    """Posterior mean and diagonal variance at test points Xs.
+
+    mu* = K*^T alpha;  v = L^{-1} K*;  var* = k** - sum(v*v, axis=0).
+    """
+    L, alpha = _factorize(params, X, y, kind, jitter, method)
+    Ks = kernel_ops.cross_covariance(params, X, Xs, kind=kind, method=method)
+    mu = jnp.einsum("nm,n->m", Ks, alpha)
+    V = trsm_ops.solve_lx(L, Ks, method="xla" if method == "auto" else method)
+    sf2 = jnp.exp(params["log_signal_var"])
+    var = sf2 - jnp.sum(V * V, axis=0)
+    if include_noise:
+        var = var + jnp.exp(params["log_noise_var"])
+    return mu, jnp.maximum(var, 0.0)
+
+
+@partial(jax.jit, static_argnames=("kind", "jitter", "method"))
+def posterior_full_cov(params, X, y, Xs, kind="rbf", jitter=1e-6, method="auto"):
+    """Posterior mean and FULL covariance at test points Xs."""
+    L, alpha = _factorize(params, X, y, kind, jitter, method)
+    Ks = kernel_ops.cross_covariance(params, X, Xs, kind=kind, method=method)
+    Kss = kernel_ops.cross_covariance(params, Xs, Xs, kind=kind, method=method)
+    mu = jnp.einsum("nm,n->m", Ks, alpha)
+    V = trsm_ops.solve_lx(L, Ks, method="xla" if method == "auto" else method)
+    cov = Kss - jnp.matmul(V.T, V, precision=jax.lax.Precision.HIGHEST)
+    return mu, cov
+
+
+@partial(jax.jit, static_argnames=("kind", "jitter", "method"))
+def lml_gradients_analytic(params, X, y, kind="rbf", jitter=1e-6, method="auto"):
+    """Analytic LML gradients: 1/2 tr((alpha alpha^T - K^{-1}) dK/dtheta).
+
+    Kept as a cross-check against jax.grad (the reference computes gradients
+    this way in CUDA). Cost: one Cholesky + explicit K^{-1} (two TRSMs).
+    """
+    solve_method = "xla" if method == "auto" else method
+    L, alpha = _factorize(params, X, y, kind, jitter, method)
+    n = X.shape[0]
+    eye = jnp.eye(n, dtype=L.dtype)
+    Kinv = trsm_ops.cho_solve(L, eye, method=solve_method)
+    W = jnp.outer(alpha, alpha) - Kinv
+
+    ell = jnp.exp(params["log_lengthscale"])
+    sf2 = jnp.exp(params["log_signal_var"])
+    sn2 = jnp.exp(params["log_noise_var"])
+
+    d2 = kernel_ops.scaled_sqdist(X, X, ell)
+    Kf = sf2 * kernel_ops.kernel_fn(d2, kind)
+
+    g_lsf = 0.5 * (jnp.sum(W * Kf) + jitter * sf2 * jnp.trace(W))
+    g_lsn = 0.5 * sn2 * jnp.trace(W)
+
+    r = jnp.sqrt(jnp.maximum(d2, 1e-30))
+    if kind == "rbf":
+        dk_dd2 = -0.5 * Kf
+    elif kind == "matern12":
+        dk_dd2 = sf2 * jnp.exp(-r) * (-0.5 / r)
+    elif kind == "matern32":
+        dk_dd2 = sf2 * (-1.5) * jnp.exp(-math.sqrt(3.0) * r)
+    elif kind == "matern52":
+        s5 = math.sqrt(5.0)
+        dk_dd2 = sf2 * (-(5.0 / 6.0)) * (1.0 + s5 * r) * jnp.exp(-s5 * r)
+    else:
+        raise ValueError(kind)
+
+    offdiag = 1.0 - jnp.eye(n, dtype=L.dtype)
+
+    def per_dim(xk, ellk):
+        diff2 = (xk[:, None] - xk[None, :]) ** 2 / ellk**2
+        dK = dk_dd2 * (-2.0 * diff2) * offdiag
+        return 0.5 * jnp.sum(W * dK)
+
+    g_ell = jax.vmap(per_dim, in_axes=(1, 0))(X, ell)
+    return {
+        "log_lengthscale": g_ell,
+        "log_signal_var": g_lsf,
+        "log_noise_var": g_lsn,
+    }

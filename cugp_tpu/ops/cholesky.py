@@ -1,0 +1,131 @@
+"""Cholesky factorization — component C2 (SURVEY.md section 2).
+
+The reference uses a custom "cuSOLVER-style" CUDA Cholesky (BASELINE.json:5).
+The TPU-native design here is a *recursive blocked right-looking* factorization:
+
+    A = [[A11, .  ],          L11 = chol(A11)
+         [A21, A22]]   ==>    L21 = A21 L11^{-T}          (blocked TRSM, MXU)
+                              L22 = chol(A22 - L21 L21^T) (SYRK update, MXU)
+
+The recursion is unrolled at trace time (N is static under jit), so every
+GEMM/TRSM in the program has a static, MXU-aligned shape and XLA schedules
+them back-to-back on the systolic array. The base case is a Pallas blocked
+potrf kernel that factorizes a diagonal block entirely in VMEM
+(``chol_pallas.py``). All matmuls on the critical path run with
+``precision=HIGHEST`` — fp32 accuracy on the MXU — because Cholesky of badly
+conditioned covariances is destroyed by bf16 passthrough.
+
+``method="xla"`` falls back to ``jax.lax.linalg.cholesky``.
+
+The custom VJP implements the standard Cholesky reverse-mode rule
+(differentiating the factorization, not the recursion), so gradients cost two
+triangular solves + one GEMM instead of unrolled-recursion AD.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from cugp_tpu.ops import trsm as trsm_ops
+
+# Size at or below which we stop recursing and call the base-case potrf.
+_BASE = 1024
+# Recursion split sizes are rounded to multiples of this (MXU-friendly).
+_ALIGN = 256
+
+_HI = lax.Precision.HIGHEST
+
+
+def _split_point(n):
+    """Largest multiple of _ALIGN close to n/2 (static python int)."""
+    half = n // 2
+    m = (half // _ALIGN) * _ALIGN
+    return max(m, _ALIGN)
+
+
+def _base_potrf(a, method):
+    if method == "pallas":
+        from cugp_tpu.ops import chol_pallas
+
+        return chol_pallas.potrf(a)
+    return lax.linalg.cholesky(a)
+
+
+def _chol_recursive(a, method):
+    n = a.shape[-1]
+    if n <= _BASE:
+        return _base_potrf(a, method)
+    m = _split_point(n)
+    a11 = a[..., :m, :m]
+    a21 = a[..., m:, :m]
+    a22 = a[..., m:, m:]
+    l11 = _chol_recursive(a11, method)
+    # L21 = A21 L11^{-T}  (solve X L11^T = A21)
+    l21 = trsm_ops.solve_xlt(l11, a21, method=method)
+    s = a22 - jnp.matmul(l21, l21.mT, precision=_HI)
+    l22 = _chol_recursive(s, method)
+    zeros = jnp.zeros(a.shape[:-2] + (m, n - m), dtype=a.dtype)
+    top = jnp.concatenate([l11, zeros], axis=-1)
+    bot = jnp.concatenate([l21, l22], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _cholesky_impl(a, method):
+    return _chol_recursive(a, method)
+
+
+def _cholesky_fwd(a, method):
+    l = _cholesky_impl(a, method)
+    return l, l
+
+
+def _cholesky_bwd(method, l, l_bar):
+    """Standard Cholesky reverse rule (Murray 2016, eq. 8-10).
+
+    A_bar = 1/2 L^{-T} (P + P^T) L^{-1},  P = Phi(L^T L_bar),
+    with Phi taking the lower triangle and halving the diagonal.
+    """
+    p = jnp.matmul(l.mT, l_bar, precision=_HI)
+    p = jnp.tril(p) - 0.5 * jnp.diagflat(jnp.diagonal(p, axis1=-2, axis2=-1))
+    # S = L^{-T} (P + P^T) L^{-1}: two triangular solves.
+    sym = p + p.mT
+    tmp = lax.linalg.triangular_solve(
+        l, sym, left_side=True, lower=True, transpose_a=True
+    )
+    s = lax.linalg.triangular_solve(
+        l, tmp, left_side=False, lower=True, transpose_a=False
+    )
+    # s is symmetric by construction; 0.25*(s+s^T) = 0.5*s (Murray eq. 8)
+    # with the average keeping it exactly symmetric in floating point
+    a_bar = 0.25 * (s + s.mT)
+    return (a_bar,)
+
+
+_cholesky_impl.defvjp(_cholesky_fwd, _cholesky_bwd)
+
+
+def cholesky(a, method="auto"):
+    """Lower-triangular Cholesky factor of a symmetric PD matrix.
+
+    method: 'auto' (recursive-blocked on TPU for large N, XLA otherwise),
+            'xla', 'blocked' (recursive + XLA base), 'pallas' (recursive +
+            Pallas base-case potrf).
+    """
+    n = a.shape[-1]
+    if method == "auto":
+        if jax.default_backend() == "tpu" and n > _BASE:
+            method = "pallas"
+        else:
+            method = "xla"
+    if method == "xla":
+        return lax.linalg.cholesky(a)
+    if method == "blocked":
+        return _cholesky_impl(a, "xla")
+    if method == "pallas":
+        return _cholesky_impl(a, "pallas")
+    raise ValueError(f"unknown cholesky method: {method}")

@@ -1,0 +1,148 @@
+"""Fused Pallas covariance tile builder — the native tier of C1.
+
+TPU-native replacement for the reference's CUDA pairwise-distance +
+covariance kernels (BASELINE.json:5, "covariance build (CUDA kernels ->
+Pallas tiles)"). Each grid step materializes one (BM x BN) tile of K
+entirely in VMEM: the cross term X1 X2^T rides the MXU, the row/col squared
+norms and the kernel function evaluate on the VPU, and the noise/jitter
+diagonal plus padding mask are fused into the same tile — the O(N^2)
+distance matrix never exists in HBM.
+
+Padding contract: rows/cols beyond (n1, n2) are written as identity-block
+entries (diag=1, off-diag=0) for square train covariances, or 0 for cross
+covariances, so downstream Cholesky/LML on padded shapes equals the
+unpadded result exactly (padded log-diag terms vanish).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cugp_tpu.ops.kernels import kernel_fn
+
+# Tile sizes: (256, 256) output tiles keep VMEM use small
+# (2 X-tiles @ 256xD + 1 K-tile @ 256x256 fp32 = well under 16 MB for D<=512)
+# while giving the MXU full 128-aligned operands.
+_BM = 256
+_BN = 256
+_LANE = 128
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+def _round_up(a, b):
+    return _cdiv(a, b) * b
+
+
+def _cov_kernel(scal_ref, x1_ref, x2_ref, out_ref, *, kind, square, n1, n2):
+    """One (BM, BN) tile of K. scal_ref = [sf2, diag_add] in SMEM."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    sf2 = scal_ref[0]
+    diag_add = scal_ref[1]
+
+    x1 = x1_ref[:]  # (BM, D) already scaled by 1/ell
+    x2 = x2_ref[:]  # (BN, D)
+    s1 = jnp.sum(x1 * x1, axis=-1, keepdims=True)  # (BM, 1)
+    s2 = jnp.sum(x2 * x2, axis=-1, keepdims=True).T  # (1, BN)
+    cross = jax.lax.dot_general(
+        x1, x2,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    d2 = jnp.maximum(s1 + s2 - 2.0 * cross, 0.0)
+    k = sf2 * kernel_fn(d2, kind)
+
+    row = i * _BM + jax.lax.broadcasted_iota(jnp.int32, (_BM, _BN), 0)
+    col = j * _BN + jax.lax.broadcasted_iota(jnp.int32, (_BM, _BN), 1)
+    pad = (row >= n1) | (col >= n2)
+    if square:
+        diag = row == col
+        # true-data diagonal: add noise+jitter; padded diagonal: identity
+        k = k + jnp.where(diag, diag_add, 0.0)
+        k = jnp.where(pad, jnp.where(diag, 1.0, 0.0), k)
+    else:
+        k = jnp.where(pad, 0.0, k)
+    out_ref[:] = k
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("kind", "square", "n1", "n2", "interpret"),
+)
+def _cov_pallas(xs1, xs2, scalars, kind, square, n1, n2, interpret):
+    m, d = xs1.shape
+    n = xs2.shape[0]
+    grid = (m // _BM, n // _BN)
+    kern = functools.partial(_cov_kernel, kind=kind, square=square, n1=n1, n2=n2)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((_BM, d), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BN, d), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_BM, _BN), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * n * d + 8 * m * n,
+            bytes_accessed=4 * (m * d + n * d + m * n),
+            transcendentals=m * n,
+        ),
+        interpret=interpret,
+    )(scalars, xs1, xs2)
+
+
+def _prep(params, X, rows_to):
+    """Scale rows by 1/lengthscale and zero-pad rows and feature dim."""
+    ell = jnp.exp(params["log_lengthscale"]).astype(jnp.float32)
+    Xs = (X / ell).astype(jnp.float32)
+    n, d = Xs.shape
+    dp = _round_up(max(d, 1), _LANE)
+    np_ = _round_up(n, rows_to)
+    return jnp.pad(Xs, ((0, np_ - n), (0, dp - d)))
+
+
+def _interp():
+    return jax.default_backend() != "tpu"
+
+
+def cross_covariance_pallas(params, X1, X2, kind="rbf"):
+    """K(X1, X2) without noise; output cropped to true (n1, n2)."""
+    n1, n2 = X1.shape[0], X2.shape[0]
+    xs1 = _prep(params, X1, _BM)
+    xs2 = _prep(params, X2, _BN)
+    sf2 = jnp.exp(params["log_signal_var"]).astype(jnp.float32)
+    scalars = jnp.stack([sf2, jnp.float32(0.0)])
+    K = _cov_pallas(xs1, xs2, scalars, kind, False, n1, n2, _interp())
+    return K[:n1, :n2]
+
+
+def train_covariance_pallas(params, X, kind="rbf", jitter=1e-6, pad_to=None):
+    """K(X, X) + (noise + jitter*signal) I, optionally at padded size.
+
+    pad_to: if given, return the full (pad_to, pad_to) matrix with the
+    identity padding block (for padded Cholesky); otherwise crop to (n, n).
+    """
+    n = X.shape[0]
+    rows_to = _round_up(pad_to, _BM) if pad_to else _BM
+    xs = _prep(params, X, rows_to)
+    sf2 = jnp.exp(params["log_signal_var"]).astype(jnp.float32)
+    sn2 = jnp.exp(params["log_noise_var"]).astype(jnp.float32)
+    scalars = jnp.stack([sf2, sn2 + jitter * sf2])
+    K = _cov_pallas(xs, xs, scalars, kind, True, n, n, _interp())
+    if pad_to:
+        return K[:pad_to, :pad_to]
+    return K[:n, :n]

@@ -1,0 +1,160 @@
+"""Float64 NumPy/SciPy exact-GP oracle.
+
+This is the correctness oracle and speedup denominator for the TPU engine,
+standing in for the reference's serial CPU baseline (see SURVEY.md section 0:
+the reference mount was empty, so the float64 closed-form posterior computed
+here IS the operative accuracy reference — exact GP regression has a unique
+closed-form posterior, so any correct implementation must agree with it).
+
+API mirrors `cugp_tpu.models.exact_gp` exactly, but in float64 on CPU.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from scipy import linalg as sla
+
+LOG2PI = float(np.log(2.0 * np.pi))
+
+SUPPORTED_KERNELS = ("rbf", "matern12", "matern32", "matern52")
+
+
+def _as_params(params):
+    """Normalize a params dict to float64 numpy arrays."""
+    return {k: np.asarray(v, dtype=np.float64) for k, v in params.items()}
+
+
+def scaled_sqdist(X1, X2, lengthscale):
+    """Pairwise squared distances of rows after per-dimension scaling."""
+    X1 = np.asarray(X1, dtype=np.float64) / lengthscale
+    X2 = np.asarray(X2, dtype=np.float64) / lengthscale
+    n1 = np.sum(X1 * X1, axis=-1)[:, None]
+    n2 = np.sum(X2 * X2, axis=-1)[None, :]
+    d2 = n1 + n2 - 2.0 * (X1 @ X2.T)
+    return np.maximum(d2, 0.0)
+
+
+def kernel_fn(d2, kind):
+    """Kernel value as a function of the scaled squared distance."""
+    if kind == "rbf":
+        return np.exp(-0.5 * d2)
+    r = np.sqrt(np.maximum(d2, 0.0))
+    if kind == "matern12":
+        return np.exp(-r)
+    if kind == "matern32":
+        s = np.sqrt(3.0) * r
+        return (1.0 + s) * np.exp(-s)
+    if kind == "matern52":
+        s = np.sqrt(5.0) * r
+        return (1.0 + s + s * s / 3.0) * np.exp(-s)
+    raise ValueError(f"unknown kernel kind: {kind}")
+
+
+def kernel_matrix(params, X1, X2, kind="rbf"):
+    """Cross-covariance K(X1, X2) WITHOUT noise."""
+    p = _as_params(params)
+    ell = np.exp(p["log_lengthscale"])
+    sf2 = np.exp(p["log_signal_var"])
+    d2 = scaled_sqdist(X1, X2, ell)
+    return sf2 * kernel_fn(d2, kind)
+
+
+def train_covariance(params, X, kind="rbf", jitter=1e-6):
+    """K(X, X) + (noise_var + jitter*signal_var) * I."""
+    p = _as_params(params)
+    K = kernel_matrix(p, X, X, kind)
+    sn2 = np.exp(p["log_noise_var"])
+    sf2 = np.exp(p["log_signal_var"])
+    n = K.shape[0]
+    return K + (sn2 + jitter * sf2) * np.eye(n)
+
+
+def _chol_factor(params, X, y, kind, jitter):
+    K = train_covariance(params, X, kind, jitter)
+    L = sla.cholesky(K, lower=True)
+    y = np.asarray(y, dtype=np.float64)
+    alpha = sla.solve_triangular(
+        L, sla.solve_triangular(L, y, lower=True), lower=True, trans="T"
+    )
+    return L, alpha
+
+
+def log_marginal_likelihood(params, X, y, kind="rbf", jitter=1e-6):
+    """LML = -1/2 y^T alpha - sum(log diag L) - N/2 log 2pi."""
+    L, alpha = _chol_factor(params, X, y, kind, jitter)
+    y = np.asarray(y, dtype=np.float64)
+    n = y.shape[0]
+    return float(
+        -0.5 * float(y @ alpha) - float(np.sum(np.log(np.diag(L)))) - 0.5 * n * LOG2PI
+    )
+
+
+def posterior(params, X, y, Xs, kind="rbf", jitter=1e-6, include_noise=False):
+    """Posterior mean and (diagonal) variance at test points Xs."""
+    p = _as_params(params)
+    L, alpha = _chol_factor(p, X, y, kind, jitter)
+    Ks = kernel_matrix(p, X, Xs, kind)  # (N, M)
+    mu = Ks.T @ alpha
+    V = sla.solve_triangular(L, Ks, lower=True)  # (N, M)
+    sf2 = np.exp(p["log_signal_var"])
+    var = sf2 - np.sum(V * V, axis=0)
+    if include_noise:
+        var = var + np.exp(p["log_noise_var"])
+    return mu, np.maximum(var, 0.0)
+
+
+def lml_gradients(params, X, y, kind="rbf", jitter=1e-6):
+    """Analytic LML gradients w.r.t. log-hyperparameters.
+
+    dLML/dtheta = 1/2 tr((alpha alpha^T - K^{-1}) dK/dtheta).
+    Cross-check for jax.grad through the JAX pipeline.
+    """
+    p = _as_params(params)
+    ell = np.exp(p["log_lengthscale"])
+    sf2 = np.exp(p["log_signal_var"])
+    sn2 = np.exp(p["log_noise_var"])
+    X = np.asarray(X, dtype=np.float64)
+    n = X.shape[0]
+
+    L, alpha = _chol_factor(p, X, y, kind, jitter)
+    Kinv = sla.cho_solve((L, True), np.eye(n))
+    W = np.outer(alpha, alpha) - Kinv  # (alpha alpha^T - K^{-1})
+
+    d2 = scaled_sqdist(X, X, ell)
+    Kf = sf2 * kernel_fn(d2, kind)  # noise-free covariance
+
+    # d K / d log_signal_var = Kf  (+ jitter term on diag)
+    dK_dlsf = Kf + jitter * sf2 * np.eye(n)
+    g_lsf = 0.5 * np.sum(W * dK_dlsf)
+
+    # d K / d log_noise_var = sn2 * I
+    g_lsn = 0.5 * sn2 * np.trace(W)
+
+    # d K / d log_ell_k: dK/d d2 * d d2/d log_ell_k, with
+    # d d2 / d log_ell_k = -2 * (x_k - x'_k)^2 / ell_k^2
+    r = np.sqrt(np.maximum(d2, 1e-300))
+    if kind == "rbf":
+        dk_dd2 = -0.5 * Kf
+    elif kind == "matern12":
+        dk_dd2 = sf2 * np.exp(-r) * (-0.5 / r)
+    elif kind == "matern32":
+        s3 = np.sqrt(3.0)
+        dk_dd2 = sf2 * (-1.5) * np.exp(-s3 * r)
+    elif kind == "matern52":
+        s5 = np.sqrt(5.0)
+        dk_dd2 = sf2 * (-(5.0 / 6.0)) * (1.0 + s5 * r) * np.exp(-s5 * r)
+    else:
+        raise ValueError(kind)
+
+    g_ell = np.zeros_like(ell)
+    for k in range(ell.shape[0]):
+        diff2 = (X[:, k][:, None] - X[:, k][None, :]) ** 2 / ell[k] ** 2
+        dK = dk_dd2 * (-2.0 * diff2)
+        np.fill_diagonal(dK, 0.0)  # r=0 diagonal: derivative is 0
+        g_ell[k] = 0.5 * np.sum(W * dK)
+
+    return {
+        "log_lengthscale": g_ell,
+        "log_signal_var": np.asarray(g_lsf),
+        "log_noise_var": np.asarray(g_lsn),
+    }

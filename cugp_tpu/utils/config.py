@@ -1,0 +1,101 @@
+"""Typed config/flag system — component C15 (SURVEY.md section 2).
+
+The reference parses argv in its C++ ``main`` [SURVEY.md section 5]; here:
+dataclass configs with dotted-path CLI overrides (``--model.kind=matern32``)
+covering the config ladder of BASELINE.json:7-11.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass
+class ModelConfig:
+    kind: str = "rbf"            # rbf | matern12 | matern32 | matern52
+    jitter: float = 1e-6
+    method: str = "auto"         # auto | xla | blocked | pallas
+    lengthscale: float = 1.0
+    signal_var: float = 1.0
+    noise_var: float = 0.1
+
+
+@dataclasses.dataclass
+class DataConfig:
+    dataset: str = "sinusoid"    # sinusoid | multidim | gp_draw | npz file
+    n: int = 1024
+    d: int = 1
+    noise_std: float = 0.1
+    seed: int = 0
+    path: Optional[str] = None   # for dataset="npz": file with X, y arrays
+
+
+@dataclasses.dataclass
+class FitConfig:
+    steps: int = 200
+    optimizer: str = "adam"      # adam | lbfgs
+    learning_rate: float = 0.05
+
+
+@dataclasses.dataclass
+class SampleConfig:
+    sampler: str = "nuts"        # nuts | hmc
+    num_samples: int = 512
+    num_warmup: int = 256
+    num_chains: int = 8
+    max_tree_depth: int = 8
+    seed: int = 0
+
+
+@dataclasses.dataclass
+class MeshConfig:
+    n_devices: int = 0           # 0 = all visible devices
+    dp: int = 1                  # data-parallel (chains) axis size
+    block: int = 512             # block-cyclic Cholesky block size
+
+
+@dataclasses.dataclass
+class Config:
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    fit: FitConfig = dataclasses.field(default_factory=FitConfig)
+    sample: SampleConfig = dataclasses.field(default_factory=SampleConfig)
+    mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
+    checkpoint_dir: Optional[str] = None
+    checkpoint_every: int = 0    # 0 = disabled
+
+
+def _set_dotted(cfg, path, value):
+    parts = path.split(".")
+    obj = cfg
+    for p in parts[:-1]:
+        obj = getattr(obj, p)
+    field = parts[-1]
+    if not hasattr(obj, field):
+        raise KeyError(f"unknown config field: {path}")
+    cur = getattr(obj, field)
+    if cur is None:
+        setattr(obj, field, value)
+    elif isinstance(cur, bool):
+        setattr(obj, field, value.lower() in ("1", "true", "yes"))
+    else:
+        setattr(obj, field, type(cur)(value))
+
+
+def parse_overrides(argv, cfg=None):
+    """Apply ``--a.b=c`` style overrides to a Config. Returns (cfg, rest)."""
+    cfg = cfg or Config()
+    rest = []
+    for arg in argv:
+        if arg.startswith("--") and "=" in arg:
+            path, value = arg[2:].split("=", 1)
+            _set_dotted(cfg, path, value)
+        else:
+            rest.append(arg)
+    return cfg, rest
+
+
+def to_json(cfg):
+    return json.dumps(dataclasses.asdict(cfg), indent=2)

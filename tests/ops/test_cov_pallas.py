@@ -1,0 +1,59 @@
+"""C1 Pallas covariance builder vs oracle (interpret mode on CPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cugp_tpu.ops import cov_pallas
+from cugp_tpu.oracle import exact_gp_np as oracle
+
+KINDS = ["rbf", "matern32"]
+
+
+def _p32(p):
+    return {k: jnp.asarray(v, jnp.float32) for k, v in p.items()}
+
+
+@pytest.mark.parametrize("kind", KINDS)
+def test_cross_covariance_pallas(kind, rng, default_params):
+    X1 = rng.uniform(-2, 2, size=(300, 3))
+    X2 = rng.uniform(-2, 2, size=(130, 3))
+    p = dict(default_params, log_lengthscale=np.log([0.8, 1.1, 0.6]))
+    K_ref = oracle.kernel_matrix(p, X1, X2, kind)
+    K = cov_pallas.cross_covariance_pallas(
+        _p32(p), jnp.asarray(X1, jnp.float32), jnp.asarray(X2, jnp.float32),
+        kind)
+    assert K.shape == (300, 130)
+    np.testing.assert_allclose(np.asarray(K), K_ref, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("kind", KINDS)
+def test_train_covariance_pallas(kind, rng, default_params):
+    X = rng.uniform(-2, 2, size=(200, 2))
+    p = dict(default_params, log_lengthscale=np.log([0.8, 1.1]))
+    K_ref = oracle.train_covariance(p, X, kind, jitter=1e-6)
+    K = cov_pallas.train_covariance_pallas(
+        _p32(p), jnp.asarray(X, jnp.float32), kind, jitter=1e-6)
+    np.testing.assert_allclose(np.asarray(K), K_ref, rtol=1e-4, atol=1e-5)
+
+
+def test_train_covariance_padded_identity_block(rng, default_params):
+    """Padded region must be exactly the identity (Cholesky-safe)."""
+    X = rng.uniform(-2, 2, size=(100, 1))
+    p = dict(default_params, log_lengthscale=np.log([0.8]))
+    K = np.asarray(cov_pallas.train_covariance_pallas(
+        _p32(p), jnp.asarray(X, jnp.float32), "rbf", jitter=1e-6,
+        pad_to=256))
+    assert K.shape == (256, 256)
+    np.testing.assert_array_equal(K[100:, :100], 0.0)
+    np.testing.assert_array_equal(K[:100, 100:], 0.0)
+    np.testing.assert_array_equal(K[100:, 100:], np.eye(156))
+    # LML path equivalence: chol of padded == chol of unpadded + identity
+    # (same fp32 matrix, so agreement is exact up to float64-chol roundoff)
+    L = np.linalg.cholesky(K)
+    L_ref = np.linalg.cholesky(K[:100, :100])
+    np.testing.assert_allclose(L[:100, :100], L_ref, rtol=1e-6, atol=1e-7)
+    assert abs(np.sum(np.log(np.diag(L))) - np.sum(np.log(np.diag(L_ref)))) < 1e-6
+    # and the fp32 K itself matches the float64 oracle covariance
+    K_ref = oracle.train_covariance(p, X, "rbf", jitter=1e-6)
+    np.testing.assert_allclose(K[:100, :100], K_ref, rtol=1e-4, atol=1e-5)
