@@ -53,29 +53,41 @@ def da_update(state, accept_prob, target=0.8, gamma=0.05, t0=10.0, kappa=0.75):
     return DualAveragingState(log_eps, log_eps_avg, h_avg, state.mu, t)
 
 
-class WelfordState(NamedTuple):
-    mean: jnp.ndarray
-    m2: jnp.ndarray
+class MomentState(NamedTuple):
+    """Raw-moment accumulator for diagonal mass estimation.
+
+    Raw sums (not Welford) so that cross-chip reduction is a plain psum:
+    every chip accumulates its local chains' sums and the variance is read
+    from the psum-ed totals (BASELINE.json:5, psum-reduced adaptation).
+    """
+
     count: jnp.ndarray
+    s1: jnp.ndarray
+    s2: jnp.ndarray
 
 
-def welford_init(dim):
-    return WelfordState(jnp.zeros(dim), jnp.zeros(dim), jnp.zeros(()))
+def moments_init(dim):
+    return MomentState(jnp.zeros(()), jnp.zeros(dim), jnp.zeros(dim))
 
 
-def welford_update(state, x):
-    count = state.count + 1.0
-    delta = x - state.mean
-    mean = state.mean + delta / count
-    m2 = state.m2 + delta * (x - mean)
-    return WelfordState(mean, m2, count)
+def moments_update(state, xs, psum_axis=None):
+    """Accumulate a (n_chains, dim) batch of positions."""
+    b = jnp.asarray(xs.shape[0], xs.dtype)
+    s1 = jnp.sum(xs, axis=0)
+    s2 = jnp.sum(xs * xs, axis=0)
+    if psum_axis is not None:
+        b = jax.lax.psum(b, psum_axis)
+        s1 = jax.lax.psum(s1, psum_axis)
+        s2 = jax.lax.psum(s2, psum_axis)
+    return MomentState(state.count + b, state.s1 + s1, state.s2 + s2)
 
 
-def welford_variance(state, regularize=True):
-    var = state.m2 / jnp.maximum(state.count - 1.0, 1.0)
+def moments_variance(state, regularize=True):
+    n = jnp.maximum(state.count, 2.0)
+    mean = state.s1 / n
+    var = jnp.maximum(state.s2 / n - mean * mean, 1e-10) * (n / (n - 1.0))
     if regularize:
         # Stan-style shrinkage towards unit scale
-        n = state.count
         var = (n / (n + 5.0)) * var + 1e-3 * (5.0 / (n + 5.0))
     return var
 
@@ -140,6 +152,78 @@ def make_logprob(lml_fn, log_prior=default_log_prior):
     return jax.value_and_grad(logprob)
 
 
+def adaptive_run(state0, key, kernel, num_warmup, num_samples, eps0,
+                 target_accept, psum_axis=None):
+    """Shared 3-phase adaptive driver for vmapped-chain HMC/NUTS.
+
+    kernel(state, keys, eps, inv_mass) -> (state, accept_probs, aux) where
+    state/aux carry a leading chain axis and accept_probs is (n_chains,).
+
+    Phases (Stan-style windowing):
+      I   (25% of warmup): dual-averaging eps under identity mass
+      II  (50%): eps continues; position moments accumulated for the mass
+      III (25%): mass fixed from phase II; eps RE-adapted under the new
+          metric (a step size tuned for the old metric is wrong for the new
+          one — this is why single-pass adaptation overshoots acceptance)
+    Cross-chip: all chain statistics go through pmean/psum over psum_axis.
+    """
+    n_chains, dim = state0.q.shape
+
+    def chain_mean(x):
+        m = jnp.mean(x, axis=0)
+        if psum_axis is not None:
+            m = jax.lax.pmean(m, psum_axis)
+        return m
+
+    def warmup_phase(state, da, key, steps, inv_mass, collect):
+        def step(carry, key):
+            state, da, mom = carry
+            eps = jnp.exp(da.log_eps)
+            keys = jax.random.split(key, n_chains)
+            state, aprobs, _ = kernel(state, keys, eps, inv_mass)
+            da = da_update(da, chain_mean(aprobs), target=target_accept)
+            if collect:
+                mom = moments_update(mom, state.q, psum_axis)
+            return (state, da, mom), None
+
+        (state, da, mom), _ = jax.lax.scan(
+            step, (state, da, moments_init(dim)),
+            jax.random.split(key, steps))
+        return state, da, mom
+
+    w1 = max(num_warmup // 4, 1)
+    w3 = max(num_warmup // 4, 1)
+    w2 = max(num_warmup - w1 - w3, 1)
+    key, k1, k2, k3, k4 = jax.random.split(key, 5)
+    ones = jnp.ones(dim)
+
+    state, da, _ = warmup_phase(state0, da_init(jnp.asarray(eps0)), k1, w1,
+                                ones, collect=False)
+    state, da, mom = warmup_phase(state, da, k2, w2, ones, collect=True)
+    inv_mass = moments_variance(mom)
+    # re-init dual averaging around the current step size, new metric
+    eps_mid = jnp.exp(da.log_eps_avg)
+    state, da, _ = warmup_phase(state, da_init(eps_mid), k3, w3, inv_mass,
+                                collect=False)
+    eps = jnp.exp(da.log_eps_avg)
+
+    def sample_step(state, key):
+        keys = jax.random.split(key, n_chains)
+        state, aprobs, aux = kernel(state, keys, eps, inv_mass)
+        return state, (state.q, aprobs, aux)
+
+    state, (qs, aprobs, aux) = jax.lax.scan(
+        sample_step, state, jax.random.split(k4, num_samples))
+    return {
+        "samples_flat": qs,  # (num_samples, n_chains, dim)
+        "accept_rate": jnp.mean(aprobs),
+        "eps": eps,
+        "inv_mass": inv_mass,
+        "aux": aux,
+        "final_state": state,
+    }
+
+
 @partial(jax.jit, static_argnames=("logprob_and_grad", "n_leapfrog",
                                    "num_warmup", "num_samples", "psum_axis"))
 def run_hmc(q0, key, logprob_and_grad, n_leapfrog=32, num_warmup=256,
@@ -153,73 +237,18 @@ def run_hmc(q0, key, logprob_and_grad, n_leapfrog=32, num_warmup=256,
     statistics (mean acceptance, mass moments) are all-reduced over it so
     adaptation is identical across chips (BASELINE.json:5).
     """
-    n_chains, dim = q0.shape
-
-    def chain_mean(x):
-        m = jnp.mean(x, axis=0)
-        if psum_axis is not None:
-            m = jax.lax.pmean(m, psum_axis)
-        return m
-
     logp0, grad0 = jax.vmap(lambda q: logprob_and_grad(q))(q0)
     state0 = HMCState(q0, logp0, grad0)
 
-    kernel = partial(hmc_kernel, logprob_and_grad=logprob_and_grad,
-                     n_leapfrog=n_leapfrog)
-
-    # ---- warmup: dual averaging + Welford mass (second half) ----
-    da0 = da_init(jnp.asarray(eps0))
-    wf0 = welford_init(dim)
-    inv_mass0 = jnp.ones(dim)
-
-    def warmup_step(carry, key):
-        state, da, wf, inv_mass = carry
-        eps = jnp.exp(da.log_eps)
-        keys = jax.random.split(key, n_chains)
+    def kernel(state, keys, eps, inv_mass):
         state, aprobs = jax.vmap(
-            lambda s, k: kernel(s, k, eps=eps, inv_mass=inv_mass)
+            lambda s, k: hmc_kernel(s, k, eps, inv_mass, logprob_and_grad,
+                                    n_leapfrog)
         )(state, keys)
-        da = da_update(da, chain_mean(aprobs), target=target_accept)
-        wf = welford_update(wf, chain_mean(state.q))
-        return (state, da, wf, inv_mass), aprobs
+        return state, aprobs, aprobs
 
-    half = num_warmup // 2
-    key, k1, k2, k3 = jax.random.split(key, 4)
-    (state1, da1, _, _), _ = jax.lax.scan(
-        warmup_step, (state0, da0, wf0, inv_mass0),
-        jax.random.split(k1, half))
-    # second half: adapt mass from per-chain positions
-    def warmup2_step(carry, key):
-        state, da, wf, inv_mass = carry
-        eps = jnp.exp(da.log_eps)
-        keys = jax.random.split(key, n_chains)
-        state, aprobs = jax.vmap(
-            lambda s, k: kernel(s, k, eps=eps, inv_mass=inv_mass)
-        )(state, keys)
-        da = da_update(da, chain_mean(aprobs), target=target_accept)
-        # accumulate moments over chains and time
-        wf = welford_update(wf, chain_mean(state.q))
-        return (state, da, wf, inv_mass), aprobs
-
-    (state2, da2, wf2, _), _ = jax.lax.scan(
-        warmup2_step, (state1, da1, welford_init(dim), inv_mass0),
-        jax.random.split(k2, num_warmup - half))
-    inv_mass = welford_variance(wf2)
-    eps = jnp.exp(da2.log_eps_avg)
-
-    # ---- sampling ----
-    def sample_step(state, key):
-        keys = jax.random.split(key, n_chains)
-        state, aprobs = jax.vmap(
-            lambda s, k: kernel(s, k, eps=eps, inv_mass=inv_mass)
-        )(state, keys)
-        return state, (state.q, aprobs)
-
-    _, (qs, aprobs) = jax.lax.scan(sample_step, state2,
-                                   jax.random.split(k3, num_samples))
-    return {
-        "samples_flat": qs,  # (num_samples, n_chains, dim)
-        "accept_rate": jnp.mean(aprobs),
-        "eps": eps,
-        "inv_mass": inv_mass,
-    }
+    out = adaptive_run(state0, key, kernel, num_warmup, num_samples, eps0,
+                       target_accept, psum_axis)
+    out.pop("aux")
+    out.pop("final_state")
+    return out

@@ -70,7 +70,7 @@ def _leapfrog_one(q, p, grad, eps, inv_mass, logprob_and_grad):
     return q, p, grad, logp
 
 
-def _build_subtree(depth, z, key, eps, direction, inv_mass, h0,
+def _build_subtree(depth, z, key, eps, direction, inv_mass, h0, *,
                    logprob_and_grad, max_depth):
     """Integrate 2^depth leaves in `direction`; progressive multinomial.
 
@@ -228,9 +228,13 @@ def nuts_kernel(state, key, eps, inv_mass, logprob_and_grad, max_depth=8):
         # 2^depth leaves via the switch below
         st = jax.lax.switch(
             jnp.minimum(c.depth, max_depth - 1),
-            [partial(_build_subtree, d) for d in range(max_depth)],
-            z, k_sub, eps, direction, inv_mass, h0, logprob_and_grad,
-            max_depth,
+            [
+                partial(_build_subtree, d,
+                        logprob_and_grad=logprob_and_grad,
+                        max_depth=max_depth)
+                for d in range(max_depth)
+            ],
+            z, k_sub, eps, direction, inv_mass, h0,
         )
 
         # biased progressive sampling between old tree and new subtree
@@ -285,60 +289,21 @@ def nuts_kernel(state, key, eps, inv_mass, logprob_and_grad, max_depth=8):
                                    "num_warmup", "num_samples", "psum_axis"))
 def run_nuts(q0, key, logprob_and_grad, max_depth=8, num_warmup=256,
              num_samples=512, eps0=0.1, target_accept=0.8, psum_axis=None):
-    """Vmapped-chain NUTS with dual-averaging + mass warmup (as run_hmc)."""
-    n_chains, dim = q0.shape
-
-    def chain_mean(x):
-        m = jnp.mean(x, axis=0)
-        if psum_axis is not None:
-            m = jax.lax.pmean(m, psum_axis)
-        return m
-
+    """Vmapped-chain NUTS with the shared 3-phase adaptive driver."""
     logp0, grad0 = jax.vmap(lambda q: logprob_and_grad(q))(q0)
     state0 = hmc_lib.HMCState(q0, logp0, grad0)
 
-    kernel = partial(nuts_kernel, logprob_and_grad=logprob_and_grad,
-                     max_depth=max_depth)
-
-    da0 = hmc_lib.da_init(jnp.asarray(eps0))
-
-    def warmup_step(carry, key):
-        state, da, wf, inv_mass = carry
-        eps = jnp.exp(da.log_eps)
-        keys = jax.random.split(key, n_chains)
+    def kernel(state, keys, eps, inv_mass):
         state, info = jax.vmap(
-            lambda s, k: kernel(s, k, eps=eps, inv_mass=inv_mass))(state, keys)
-        da = hmc_lib.da_update(da, chain_mean(info.accept_prob),
-                               target=target_accept)
-        wf = hmc_lib.welford_update(wf, chain_mean(state.q))
-        return (state, da, wf, inv_mass), info.accept_prob
+            lambda s, k: nuts_kernel(s, k, eps, inv_mass, logprob_and_grad,
+                                     max_depth)
+        )(state, keys)
+        return state, info.accept_prob, (info.diverging, info.n_leapfrog)
 
-    half = num_warmup // 2
-    key, k1, k2, k3 = jax.random.split(key, 4)
-    inv_mass0 = jnp.ones(dim)
-    (state1, da1, _, _), _ = jax.lax.scan(
-        warmup_step, (state0, da0, hmc_lib.welford_init(dim), inv_mass0),
-        jax.random.split(k1, half))
-    (state2, da2, wf2, _), _ = jax.lax.scan(
-        warmup_step, (state1, da1, hmc_lib.welford_init(dim), inv_mass0),
-        jax.random.split(k2, num_warmup - half))
-    inv_mass = hmc_lib.welford_variance(wf2)
-    eps = jnp.exp(da2.log_eps_avg)
-
-    def sample_step(state, key):
-        keys = jax.random.split(key, n_chains)
-        state, info = jax.vmap(
-            lambda s, k: kernel(s, k, eps=eps, inv_mass=inv_mass))(state, keys)
-        return state, (state.q, info.accept_prob, info.diverging,
-                       info.n_leapfrog)
-
-    _, (qs, aprobs, divs, nlf) = jax.lax.scan(
-        sample_step, state2, jax.random.split(k3, num_samples))
-    return {
-        "samples_flat": qs,
-        "accept_rate": jnp.mean(aprobs),
-        "divergence_rate": jnp.mean(divs.astype(jnp.float32)),
-        "mean_leapfrog": jnp.mean(nlf.astype(jnp.float32)),
-        "eps": eps,
-        "inv_mass": inv_mass,
-    }
+    out = hmc_lib.adaptive_run(state0, key, kernel, num_warmup, num_samples,
+                               eps0, target_accept, psum_axis)
+    divs, nlf = out.pop("aux")
+    out.pop("final_state")
+    out["divergence_rate"] = jnp.mean(divs.astype(jnp.float32))
+    out["mean_leapfrog"] = jnp.mean(nlf.astype(jnp.float32))
+    return out
