@@ -16,17 +16,12 @@ import numpy as np
 
 
 def _time(fn, *args, warmup=1, iters=3):
-    import jax
+    # fetch-barrier timing: on the axon backend block_until_ready returns
+    # before execution completes; only a host fetch truly synchronizes
+    from cugp_tpu.utils import profiling
 
-    out = None
-    for _ in range(warmup):
-        out = fn(*args)
-        jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-        jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters, out
+    t = profiling.timed(fn, *args, warmup=warmup, iters=iters)
+    return t, fn(*args)
 
 
 def main():
@@ -40,15 +35,17 @@ def main():
     from cugp_tpu.ops import kernels as kops
     from cugp_tpu.ops import cholesky as chol_ops
 
-    rng = np.random.default_rng(0)
-    X = jnp.asarray(rng.uniform(-2, 2, size=(n, d)), jnp.float32)
+    # NOTE: all large arrays are generated ON DEVICE (jax.random) — host
+    # uploads of O(100MB) buffers stall for minutes over the axon tunnel
+    key = jax.random.key(0)
+    X = jax.random.uniform(key, (n, d), jnp.float32, -2.0, 2.0)
     params = kops.init_params(d=d, lengthscale=2.0, noise_var=1e-2)
 
     method = "pallas" if on_tpu else "xla"
 
     # measured fp32-HIGHEST GEMM roofline (denominator of vs_baseline)
     m = 8192 if on_tpu else 1024
-    a = jnp.asarray(rng.standard_normal((m, m)), jnp.float32)
+    a = jax.jit(lambda k: jax.random.normal(k, (m, m), jnp.float32))(key)
     gemm = jax.jit(lambda a: jnp.matmul(a, a, precision=jax.lax.Precision.HIGHEST))
     t_gemm, _ = _time(gemm, a)
     gemm_gflops = 2 * m**3 / t_gemm / 1e9

@@ -1,0 +1,117 @@
+"""Distributed tier on 8 faked CPU devices (SURVEY.md section 4, dist tier).
+
+Block-cyclic shard_map Cholesky, GSPMD chunked Cholesky, ring covariance —
+each compared against the single-device path on the same inputs.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cugp_tpu.parallel import mesh as mesh_lib
+
+pytestmark = pytest.mark.dist
+
+
+@pytest.fixture(scope="module")
+def mesh2d():
+    # ('dp','r','c') with dp=1 → r=4, c=2
+    return mesh_lib.make_mesh(8, dp=1)
+
+
+def _spd(n, rng, cond=1e3):
+    q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    eigs = np.logspace(0, -np.log10(cond), n)
+    return ((q * eigs) @ q.T).astype(np.float32)
+
+
+def test_block_cyclic_cholesky_matches_single_device(mesh2d, rng):
+    from cugp_tpu.parallel import block_cyclic
+
+    n, block = 512, 64
+    a = _spd(n, rng)
+    l_ref = np.linalg.cholesky(np.asarray(a, np.float64))
+    l = block_cyclic.block_cyclic_cholesky(jnp.asarray(a), mesh2d,
+                                           block=block)
+    np.testing.assert_allclose(np.asarray(l), l_ref, rtol=2e-2, atol=2e-4)
+    rec = np.asarray(l) @ np.asarray(l).T
+    np.testing.assert_allclose(rec, a, rtol=1e-3, atol=1e-4)
+
+
+def test_block_cyclic_rejects_bad_sizes(mesh2d, rng):
+    from cugp_tpu.parallel import block_cyclic
+
+    with pytest.raises(ValueError):
+        block_cyclic.block_cyclic_cholesky(jnp.eye(100), mesh2d, block=64)
+
+
+def test_gspmd_chunked_cholesky(mesh2d, rng):
+    from cugp_tpu.parallel import distributed_chol
+
+    n = 768
+    a = _spd(n, rng)
+    l_ref = np.linalg.cholesky(np.asarray(a, np.float64))
+
+    @jax.jit
+    def run(a):
+        return distributed_chol.distributed_cholesky(a, mesh2d, chunk=256)
+
+    l = run(jnp.asarray(a))
+    np.testing.assert_allclose(np.asarray(l), l_ref, rtol=2e-2, atol=2e-4)
+    rec = np.asarray(l) @ np.asarray(l).T
+    np.testing.assert_allclose(rec, a, rtol=1e-3, atol=1e-4)
+
+
+def test_ring_covariance_matches_xla(mesh2d, rng, default_params):
+    from cugp_tpu.parallel import ring
+    from cugp_tpu.ops import kernels as kops
+
+    n, d = 256, 3
+    X = rng.uniform(-2, 2, size=(n, d)).astype(np.float32)
+    p = {k: jnp.asarray(v, jnp.float32) for k, v in dict(
+        default_params, log_lengthscale=np.log([0.8, 1.1, 0.6])).items()}
+    K_ref = kops.train_covariance_xla(p, jnp.asarray(X), kind="rbf",
+                                      jitter=1e-6)
+    K = ring.ring_train_covariance(p, jnp.asarray(X), mesh2d, kind="rbf",
+                                   jitter=1e-6, axis="r")
+    np.testing.assert_allclose(np.asarray(K), np.asarray(K_ref), rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_distributed_lml_matches_single_device(mesh2d, rng):
+    from cugp_tpu.parallel import distributed_chol
+    from cugp_tpu.models import exact_gp
+    from cugp_tpu.ops import kernels as kops
+    from cugp_tpu.data import synthetic
+
+    X, y, _ = synthetic.sinusoid_1d(n=512, seed=5)
+    Xj = jnp.asarray(X, jnp.float32)
+    yj = jnp.asarray(y, jnp.float32)
+    p = kops.init_params(d=1, lengthscale=0.8, noise_var=0.05)
+    ref = exact_gp.log_marginal_likelihood(p, Xj, yj, kind="rbf", method="xla")
+
+    @jax.jit
+    def run(p, X, y):
+        return distributed_chol.distributed_lml(p, X, y, mesh2d, kind="rbf",
+                                                chunk=256)
+
+    val = run(p, Xj, yj)
+    assert abs(float(val) - float(ref)) / 512 < 1e-3
+
+
+def test_gspmd_lml_sharded(mesh2d):
+    from cugp_tpu.parallel import gspmd
+    from cugp_tpu.models import exact_gp
+    from cugp_tpu.ops import kernels as kops
+    from cugp_tpu.data import synthetic
+
+    X, y, _ = synthetic.sinusoid_1d(n=256, seed=6)
+    Xj = jnp.asarray(X, jnp.float32)
+    yj = jnp.asarray(y, jnp.float32)
+    p = kops.init_params(d=1)
+    ref = exact_gp.log_marginal_likelihood(p, Xj, yj, kind="rbf", method="xla")
+    val = jax.jit(
+        lambda p, X, y: gspmd.lml_sharded(p, X, y, mesh2d, kind="rbf"))(
+            p, Xj, yj)
+    assert abs(float(val) - float(ref)) / 256 < 1e-3
