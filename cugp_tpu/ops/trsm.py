@@ -42,61 +42,62 @@ def _base_solve(l, b, *, left, transpose, method):
     )
 
 
-def solve_lx(l, b, method="xla"):
+def solve_lx(l, b, method="xla", precision=None):
     """Solve L X = B for X (L lower triangular, B is (n, k) or (n,))."""
     vec = b.ndim == l.ndim - 1
     if vec:
         b = b[..., None]
-    x = _solve_lx(l, b, method)
+    x = _solve_lx(l, b, method, precision or _HI)
     return x[..., 0] if vec else x
 
 
-def _solve_lx(l, b, method):
+def _solve_lx(l, b, method, precision=_HI):
     n = l.shape[-1]
     if n <= _BASE:
         return _base_solve(l, b, left=True, transpose=False, method=method)
     m = _split_point(n)
     l11, l21, l22 = l[..., :m, :m], l[..., m:, :m], l[..., m:, m:]
-    x1 = _solve_lx(l11, b[..., :m, :], method)
-    b2 = b[..., m:, :] - jnp.matmul(l21, x1, precision=_HI)
-    x2 = _solve_lx(l22, b2, method)
+    x1 = _solve_lx(l11, b[..., :m, :], method, precision)
+    b2 = b[..., m:, :] - jnp.matmul(l21, x1, precision=precision)
+    x2 = _solve_lx(l22, b2, method, precision)
     return jnp.concatenate([x1, x2], axis=-2)
 
 
-def solve_ltx(l, b, method="xla"):
+def solve_ltx(l, b, method="xla", precision=None):
     """Solve L^T X = B for X."""
     vec = b.ndim == l.ndim - 1
     if vec:
         b = b[..., None]
-    x = _solve_ltx(l, b, method)
+    x = _solve_ltx(l, b, method, precision or _HI)
     return x[..., 0] if vec else x
 
 
-def _solve_ltx(l, b, method):
+def _solve_ltx(l, b, method, precision=_HI):
     n = l.shape[-1]
     if n <= _BASE:
         return _base_solve(l, b, left=True, transpose=True, method=method)
     m = _split_point(n)
     l11, l21, l22 = l[..., :m, :m], l[..., m:, :m], l[..., m:, m:]
-    x2 = _solve_ltx(l22, b[..., m:, :], method)
-    b1 = b[..., :m, :] - jnp.matmul(l21.mT, x2, precision=_HI)
-    x1 = _solve_ltx(l11, b1, method)
+    x2 = _solve_ltx(l22, b[..., m:, :], method, precision)
+    b1 = b[..., :m, :] - jnp.matmul(l21.mT, x2, precision=precision)
+    x1 = _solve_ltx(l11, b1, method, precision)
     return jnp.concatenate([x1, x2], axis=-2)
 
 
-def solve_xlt(l, b, method="xla"):
+def solve_xlt(l, b, method="xla", precision=None):
     """Solve X L^T = B for X (right-side solve; B is (k, n))."""
     n = l.shape[-1]
+    precision = _HI if precision is None else precision
     if n <= _BASE:
         return _base_solve(l, b, left=False, transpose=True, method=method)
     m = _split_point(n)
     l11, l21, l22 = l[..., :m, :m], l[..., m:, :m], l[..., m:, m:]
-    x1 = solve_xlt(l11, b[..., :, :m], method)
-    b2 = b[..., :, m:] - jnp.matmul(x1, l21.mT, precision=_HI)
-    x2 = solve_xlt(l22, b2, method)
+    x1 = solve_xlt(l11, b[..., :, :m], method, precision)
+    b2 = b[..., :, m:] - jnp.matmul(x1, l21.mT, precision=precision)
+    x2 = solve_xlt(l22, b2, method, precision)
     return jnp.concatenate([x1, x2], axis=-1)
 
 
-def cho_solve(l, b, method="xla"):
+def cho_solve(l, b, method="xla", precision=None):
     """Solve (L L^T) x = b given the Cholesky factor L."""
-    return solve_ltx(l, solve_lx(l, b, method), method)
+    return solve_ltx(l, solve_lx(l, b, method, precision), method, precision)

@@ -61,6 +61,31 @@ def rtt_overhead(iters=5):
     return (time.perf_counter() - t0) / iters
 
 
+def timed_loop(step_fn, init, iters=8, warmup=True):
+    """Per-iteration seconds of step_fn chained on-device iters times.
+
+    Removes the ~30ms tunnel RTT from measurements of sub-RTT ops: the loop
+    runs inside one jit (lax.scan with a data dependency through the carry)
+    and only the final carry is fetched. step_fn must return something of
+    the same structure as its input.
+    """
+
+    @jax.jit
+    def run(x):
+        def body(c, _):
+            return step_fn(c), None
+
+        c, _ = jax.lax.scan(body, x, None, length=iters)
+        return c
+
+    if warmup:
+        _fetch_barrier(run(init))
+    t0 = time.perf_counter()
+    _fetch_barrier(run(init))
+    total = time.perf_counter() - t0
+    return max(total - rtt_overhead(iters=2), 1e-9) / iters
+
+
 def timed(fn, *args, warmup=1, iters=5):
     """Median wall-clock seconds of fn(*args), fetch-barrier synced."""
     for _ in range(warmup):
