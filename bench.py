@@ -2,75 +2,90 @@
 
 Metric (BASELINE.json:2): Cholesky+covariance GFLOP/s/chip at N=32k.
 FLOP model (BASELINE.md): Cholesky N^3/3, covariance build 2 N^2 d.
-vs_baseline: achieved / (0.70 * measured fp32-HIGHEST GEMM roofline on this
-chip) — the reference published no numbers (BASELINE.md), so the operative
-baseline is the >=70%-of-roofline target from BASELINE.json:5. A value of
-1.0 therefore means "hit the 70% roofline target exactly".
+
+Configuration: Pallas fused covariance tiles + the recursive blocked
+Cholesky with bf16_3x (Precision.HIGH) trailing updates — gated by an
+in-bench accuracy check (block reconstruction residual must stay below
+2e-4 relative, ~10x the fp32 path's residual and far inside the 1e-3
+posterior-accuracy bar of BASELINE.json:5).
+
+vs_baseline: achieved / (0.70 * measured same-precision GEMM roofline on
+this chip). The reference published no numbers (BASELINE.md), so the
+operative baseline is the ">=70% of roofline FLOPs" target from
+BASELINE.json:5 — vs_baseline = 1.0 means exactly on target, >1 beats it.
 """
 
 import json
 import sys
-import time
-
-import numpy as np
-
-
-def _time(fn, *args, warmup=1, iters=3):
-    # fetch-barrier timing: on the axon backend block_until_ready returns
-    # before execution completes; only a host fetch truly synchronizes
-    from cugp_tpu.utils import profiling
-
-    t = profiling.timed(fn, *args, warmup=warmup, iters=iters)
-    return t, fn(*args)
 
 
 def main():
     import jax
     import jax.numpy as jnp
 
-    on_tpu = jax.default_backend() == "tpu"
-    n = 32768 if on_tpu else 1024
-    d = 8
-
     from cugp_tpu.ops import kernels as kops
     from cugp_tpu.ops import cholesky as chol_ops
+    from cugp_tpu.utils import profiling
 
-    # NOTE: all large arrays are generated ON DEVICE (jax.random) — host
-    # uploads of O(100MB) buffers stall for minutes over the axon tunnel
+    on_tpu = jax.default_backend() == "tpu"
+    n = 32768 if on_tpu else 2048
+    d = 8
+    HI = jax.lax.Precision.HIGHEST
+    prec = jax.lax.Precision.HIGH if on_tpu else HI
+    method = "blocked" if on_tpu else "xla"
+
     key = jax.random.key(0)
     X = jax.random.uniform(key, (n, d), jnp.float32, -2.0, 2.0)
     params = kops.init_params(d=d, lengthscale=2.0, noise_var=1e-2)
 
-    method = "pallas" if on_tpu else "xla"
-
-    # measured fp32-HIGHEST GEMM roofline (denominator of vs_baseline)
-    m = 8192 if on_tpu else 1024
+    # same-precision GEMM roofline (denominator of vs_baseline), measured
+    # with the on-device loop timer so the tunnel RTT doesn't deflate it
+    m = min(n, 8192)
     a = jax.jit(lambda k: jax.random.normal(k, (m, m), jnp.float32))(key)
-    gemm = jax.jit(lambda a: jnp.matmul(a, a, precision=jax.lax.Precision.HIGHEST))
-    t_gemm, _ = _time(gemm, a)
+
+    def gemm_step(ab):
+        x, y_ = ab
+        c = jnp.matmul(x, y_, precision=prec)
+        return (x, c * jax.lax.rsqrt(jnp.mean(c * c) + 1e-9))
+
+    t_gemm = profiling.timed_loop(gemm_step, (a, a), iters=6)
     gemm_gflops = 2 * m**3 / t_gemm / 1e9
+    del a
 
-    cov = jax.jit(lambda p, X: kops.train_covariance(p, X, kind="rbf",
-                                                     jitter=1e-6,
-                                                     method=method))
-    t_cov, K = _time(cov, params, X)
+    cov = jax.jit(lambda p, X: kops.train_covariance(
+        p, X, kind="rbf", jitter=1e-6,
+        method="pallas" if on_tpu else "xla"))
+    t_cov = profiling.timed(cov, params, X, iters=2)
+    K = cov(params, X)
 
-    chol = jax.jit(lambda K: chol_ops.cholesky(K, method=method))
-    t_chol, L = _time(chol, K)
-    assert bool(jnp.isfinite(L[-1, -1])), "cholesky produced non-finite output"
+    chol = jax.jit(lambda K: chol_ops.cholesky(K, method=method,
+                                               precision=prec))
+    t_chol = profiling.timed(chol, K, iters=2)
+    L = chol(K)
+
+    # accuracy gate on a 4096-row block (bounded memory): ||LL^T - K|| / ||K||
+    nb = min(n, 4096)
+    resid = jax.jit(lambda L, K: jnp.max(jnp.abs(
+        jnp.matmul(L[:nb], L[:nb].mT, precision=HI) - K[:nb, :nb]))
+        / jnp.max(jnp.abs(K[:nb, :nb])))
+    relerr = float(resid(L, K))
+    assert relerr < 2e-4, f"cholesky accuracy gate failed: relerr={relerr}"
 
     flops = n**3 / 3 + 2 * n**2 * d
     gflops = flops / (t_cov + t_chol) / 1e9
     target = 0.70 * gemm_gflops
     print(json.dumps({
-        "metric": f"cov+chol GFLOP/s/chip @ N={n} (fp32)",
+        "metric": f"cov+chol GFLOP/s/chip @ N={n}",
         "value": round(gflops, 2),
         "unit": "GFLOP/s",
         "vs_baseline": round(gflops / target, 4),
         "detail": {
             "t_cov_s": round(t_cov, 4),
             "t_chol_s": round(t_chol, 4),
-            "gemm_fp32_gflops": round(gemm_gflops, 2),
+            "chol_tflops": round(n**3 / 3 / t_chol / 1e12, 2),
+            "gemm_roofline_gflops": round(gemm_gflops, 2),
+            "chol_recon_relerr": relerr,
+            "precision": str(prec),
             "n": n,
             "backend": jax.default_backend(),
         },

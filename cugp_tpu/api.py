@@ -113,6 +113,33 @@ class GP:
             max_tree_depth=max_tree_depth,
         )
 
+    def save(self, path):
+        """Persist hyperparameters + conditioning data (utils.checkpoint)."""
+        from cugp_tpu.utils import checkpoint
+
+        checkpoint.save(path, {"params": self.params, "X": self.X,
+                               "y": self.y},
+                        extra_json={"kind": self.kind, "jitter": self.jitter,
+                                    "method": self.method})
+
+    @classmethod
+    def load(cls, path):
+        """Restore a GP saved with save()."""
+        import numpy as np
+        from cugp_tpu.utils import checkpoint
+
+        probe = {"params": {"log_lengthscale": np.zeros(1),
+                            "log_signal_var": np.zeros(()),
+                            "log_noise_var": np.zeros(())},
+                 "X": np.zeros((1, 1)), "y": np.zeros(1)}
+        tree, meta = checkpoint.restore(path, probe)
+        if tree is None:
+            raise FileNotFoundError(path)
+        gp = cls(kind=meta["extra"]["kind"], jitter=meta["extra"]["jitter"],
+                 method=meta["extra"]["method"])
+        gp.condition(tree["X"], tree["y"], params=tree["params"])
+        return gp
+
     def fit_vi(self, *, steps=2000, learning_rate=0.01, rank="meanfield",
                num_mc=8, key=None, init=None):
         """Variational posterior over hyperparameters (inference/vi)."""

@@ -50,13 +50,23 @@ def _make_gp(cfg):
 def cmd_fit(cfg):
     X, y = _load_data(cfg)
     gp = _make_gp(cfg)
+    init = None
+    if cfg.checkpoint_dir:
+        try:
+            prev = type(gp).load(cfg.checkpoint_dir)
+            init = prev.params
+        except FileNotFoundError:
+            pass
     t0 = time.perf_counter()
     info = gp.fit(X, y, steps=cfg.fit.steps, optimizer=cfg.fit.optimizer,
-                  learning_rate=cfg.fit.learning_rate)
+                  learning_rate=cfg.fit.learning_rate, init=init)
     dt = time.perf_counter() - t0
+    if cfg.checkpoint_dir:
+        gp.save(cfg.checkpoint_dir)
     out = {
         "lml": float(info["lml"]),
         "seconds": round(dt, 3),
+        "resumed": init is not None,
         "params": {k: np.asarray(v).tolist() for k, v in gp.params.items()},
     }
     print(json.dumps(out, indent=2))

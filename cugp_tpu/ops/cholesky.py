@@ -48,11 +48,42 @@ def _split_point(n):
 
 
 def _base_potrf(a, method):
+    # rebuild the (possibly garbage) upper triangle from the lower one —
+    # callers may hand us SYRK-lower results (see _syrk_lower)
+    lower = jnp.tril(a)
+    a = lower + jnp.triu(lower.mT, 1)
     if method == "pallas":
         from cugp_tpu.ops import chol_pallas
 
         return chol_pallas.potrf(a)
     return lax.linalg.cholesky(a)
+
+
+# Below this size a trailing update is one full gemm; above, the SYRK
+# recursion skips the upper-triangular quadrant (saves ~1/3 of GEMM FLOPs
+# at the top levels, where almost all the time is).
+_SYRK_FULL = 4096
+
+
+def _syrk_lower(a, p, precision):
+    """a - p p^T computed only on (block) lower triangle; upper is garbage.
+
+    The classic SYRK saving expressed recursively with static shapes: the
+    strictly-upper quadrant of each level is returned untouched (callers —
+    the Cholesky recursion and the base potrf — only read the lower
+    triangle, see _base_potrf's symmetrization).
+    """
+    n = a.shape[-1]
+    if n <= _SYRK_FULL:
+        return a - jnp.matmul(p, p.mT, precision=precision)
+    m = _split_point(n)
+    a11 = _syrk_lower(a[..., :m, :m], p[..., :m, :], precision)
+    a21 = a[..., m:, :m] - jnp.matmul(p[..., m:, :], p[..., :m, :].mT,
+                                      precision=precision)
+    a22 = _syrk_lower(a[..., m:, m:], p[..., m:, :], precision)
+    top = jnp.concatenate([a11, a[..., :m, m:]], axis=-1)
+    bot = jnp.concatenate([a21, a22], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
 
 
 def _chol_recursive(a, method, precision):
@@ -66,7 +97,7 @@ def _chol_recursive(a, method, precision):
     l11 = _chol_recursive(a11, method, precision)
     # L21 = A21 L11^{-T}  (solve X L11^T = A21)
     l21 = trsm_ops.solve_xlt(l11, a21, method=method, precision=precision)
-    s = a22 - jnp.matmul(l21, l21.mT, precision=precision)
+    s = _syrk_lower(a22, l21, precision)
     l22 = _chol_recursive(s, method, precision)
     zeros = jnp.zeros(a.shape[:-2] + (m, n - m), dtype=a.dtype)
     top = jnp.concatenate([l11, zeros], axis=-1)
@@ -74,8 +105,49 @@ def _chol_recursive(a, method, precision):
     return jnp.concatenate([top, bot], axis=-2)
 
 
+def _chol_left_looking(a, method, precision, panel=2048):
+    """Left-looking blocked sweep — the minimum-GEMM-FLOP formulation.
+
+    The recursive split does ~n^3/2 GEMM FLOPs for n^3/3 useful work (the
+    trailing square is updated whole at every level), capping it at ~2/3 of
+    the GEMM roofline. Left-looking applies each panel's accumulated update
+    with ONE gemm of exactly the needed shape — total GEMM FLOPs = n^3/3 —
+    at the cost of re-reading L's columns from HBM (n^3/(6*panel) bytes,
+    ~10 GB at n=32k: negligible next to compute). The Python loop over
+    panels unrolls at trace time, so all shapes are static.
+    """
+    n = a.shape[-1]
+    if n <= panel:
+        return _chol_recursive(a, method, precision)
+    nb = -(-n // panel)
+    l = jnp.zeros_like(a)
+    for j in range(nb):
+        lo = j * panel
+        hi = min(lo + panel, n)
+        b = hi - lo
+        col = a[..., lo:, lo:hi]  # (n-lo, b)
+        if j > 0:
+            left = l[..., lo:, :lo]       # rows >= lo of finished columns
+            top = l[..., lo:hi, :lo]      # the diag-block rows
+            col = col - jnp.matmul(left, top.mT, precision=precision)
+        diag = _chol_recursive(col[..., :b, :], method, precision)
+        if hi < n:
+            below = trsm_ops.solve_xlt(diag, col[..., b:, :], method=method,
+                                       precision=precision)
+            colL = jnp.concatenate([diag, below], axis=-2)
+        else:
+            colL = diag
+        l = jax.lax.dynamic_update_slice(
+            l, colL, (l.ndim - 2) * (0,) + (lo, lo))
+    return l
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(1, 2))
 def _cholesky_impl(a, method, precision):
+    # recursive + SYRK-lower beats left-looking on TPU: measured at n=32k
+    # (HIGH precision) recursive=406ms, left-looking=487ms — the per-panel
+    # 4GB dynamic_update_slice writes are not aliased in place by XLA,
+    # while the recursion's concats sit off the critical GEMM path.
     return _chol_recursive(a, method, precision)
 
 

@@ -25,11 +25,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from cugp_tpu.ops.kernels import kernel_fn
 
-# Tile sizes: (256, 256) output tiles keep VMEM use small
+# Tile sizes: (512, 512) output tiles amortize grid-step overhead
 # (2 X-tiles @ 256xD + 1 K-tile @ 256x256 fp32 = well under 16 MB for D<=512)
 # while giving the MXU full 128-aligned operands.
-_BM = 256
-_BN = 256
+_BM = 512
+_BN = 512
 _LANE = 128
 
 
@@ -41,24 +41,49 @@ def _round_up(a, b):
     return _cdiv(a, b) * b
 
 
-def _cov_kernel(scal_ref, x1_ref, x2_ref, out_ref, *, kind, square, n1, n2):
-    """One (BM, BN) tile of K. scal_ref = [sf2, diag_add] in SMEM."""
+def _cov_kernel(scal_ref, x1_ref, x2_ref, out_ref, *, kind, square, n1, n2,
+                d_true):
+    """One (BM, BN) tile of K. scal_ref = [sf2, diag_add] in SMEM.
+
+    Two distance paths:
+    - d_true set (small d): direct squared-difference accumulation on the
+      VPU — x1 tile is (BM, d_pad), x2 tile is TRANSPOSED (d_pad, BN), and
+      each true feature contributes one fused (BM,1)-(1,BN) broadcast op.
+      No MXU, no lane-padding FLOPs (the MXU route pads d to 128, a 16x
+      waste at d=8).
+    - d_true None (large d): norm expansion with the cross term on the MXU.
+    """
     i = pl.program_id(0)
     j = pl.program_id(1)
     sf2 = scal_ref[0]
     diag_add = scal_ref[1]
 
-    x1 = x1_ref[:]  # (BM, D) already scaled by 1/ell
-    x2 = x2_ref[:]  # (BN, D)
-    s1 = jnp.sum(x1 * x1, axis=-1, keepdims=True)  # (BM, 1)
-    s2 = jnp.sum(x2 * x2, axis=-1, keepdims=True).T  # (1, BN)
-    cross = jax.lax.dot_general(
-        x1, x2,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    d2 = jnp.maximum(s1 + s2 - 2.0 * cross, 0.0)
+    if d_true is not None:
+        dp8 = -(-d_true // 8) * 8
+        x1 = x1_ref[:]   # (BM, 128-padded d) scaled by 1/ell
+        x2t = x2_ref[:]  # (8-padded d, BN) scaled by 1/ell
+        x1s = x1[:, :dp8]  # only the true-feature lanes feed the MXU
+        s1 = jnp.sum(x1 * x1, axis=-1, keepdims=True)   # zeros padded
+        s2 = jnp.sum(x2t * x2t, axis=0, keepdims=True)  # (1, BN)
+        cross = jax.lax.dot_general(
+            x1s, x2t,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # K-dim = padded d (<=32): tiny MXU contraction, no 128-padding
+        d2 = jnp.maximum(s1 + s2 - 2.0 * cross, 0.0)
+    else:
+        x1 = x1_ref[:]  # (BM, D)
+        x2 = x2_ref[:]  # (BN, D)
+        s1 = jnp.sum(x1 * x1, axis=-1, keepdims=True)  # (BM, 1)
+        s2 = jnp.sum(x2 * x2, axis=-1, keepdims=True).T  # (1, BN)
+        cross = jax.lax.dot_general(
+            x1, x2,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        d2 = jnp.maximum(s1 + s2 - 2.0 * cross, 0.0)
     k = sf2 * kernel_fn(d2, kind)
 
     row = i * _BM + jax.lax.broadcasted_iota(jnp.int32, (_BM, _BN), 0)
@@ -74,15 +99,29 @@ def _cov_kernel(scal_ref, x1_ref, x2_ref, out_ref, *, kind, square, n1, n2):
     out_ref[:] = k
 
 
+_SMALL_D = 32  # at or below: VPU squared-difference path (see _cov_kernel)
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("kind", "square", "n1", "n2", "interpret"),
+    static_argnames=("kind", "square", "n1", "n2", "d_true", "interpret"),
 )
-def _cov_pallas(xs1, xs2, scalars, kind, square, n1, n2, interpret):
-    m, d = xs1.shape
-    n = xs2.shape[0]
+def _cov_pallas(xs1, xs2, scalars, kind, square, n1, n2, d_true, interpret):
+    m = xs1.shape[0]
+    if d_true is not None:
+        d = xs1.shape[1]
+        dp8 = xs2.shape[0]  # xs2 transposed: (8-padded d, n)
+        n = xs2.shape[1]
+        x2_spec = pl.BlockSpec((dp8, _BN), lambda i, j: (0, j),
+                               memory_space=pltpu.VMEM)
+    else:
+        d = xs1.shape[1]
+        n = xs2.shape[0]
+        x2_spec = pl.BlockSpec((_BN, d), lambda i, j: (j, 0),
+                               memory_space=pltpu.VMEM)
     grid = (m // _BM, n // _BN)
-    kern = functools.partial(_cov_kernel, kind=kind, square=square, n1=n1, n2=n2)
+    kern = functools.partial(_cov_kernel, kind=kind, square=square, n1=n1,
+                             n2=n2, d_true=d_true)
     return pl.pallas_call(
         kern,
         grid=grid,
@@ -90,8 +129,7 @@ def _cov_pallas(xs1, xs2, scalars, kind, square, n1, n2, interpret):
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((_BM, d), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_BN, d), lambda i, j: (j, 0),
-                         memory_space=pltpu.VMEM),
+            x2_spec,
         ],
         out_specs=pl.BlockSpec((_BM, _BN), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
@@ -105,13 +143,20 @@ def _cov_pallas(xs1, xs2, scalars, kind, square, n1, n2, interpret):
     )(scalars, xs1, xs2)
 
 
-def _prep(params, X, rows_to):
-    """Scale rows by 1/lengthscale and zero-pad rows and feature dim."""
+def _prep(params, X, rows_to, transpose=False):
+    """Scale rows by 1/lengthscale; pad rows and features; opt. transpose.
+
+    Row-major output (rows_pad, 128-padded d) feeds the x1 operand; the
+    transposed output (8-padded d, rows_pad) feeds the small-d x2 operand.
+    """
     ell = jnp.exp(params["log_lengthscale"]).astype(jnp.float32)
     Xs = (X / ell).astype(jnp.float32)
     n, d = Xs.shape
-    dp = _round_up(max(d, 1), _LANE)
     np_ = _round_up(n, rows_to)
+    if transpose:
+        dp = _round_up(max(d, 1), 8)
+        return jnp.pad(Xs, ((0, np_ - n), (0, dp - d))).T
+    dp = _round_up(max(d, 1), _LANE)
     return jnp.pad(Xs, ((0, np_ - n), (0, dp - d)))
 
 
@@ -122,11 +167,13 @@ def _interp():
 def cross_covariance_pallas(params, X1, X2, kind="rbf"):
     """K(X1, X2) without noise; output cropped to true (n1, n2)."""
     n1, n2 = X1.shape[0], X2.shape[0]
+    d = X1.shape[1]
+    d_true = d if d <= _SMALL_D else None
     xs1 = _prep(params, X1, _BM)
-    xs2 = _prep(params, X2, _BN)
+    xs2 = _prep(params, X2, _BN, transpose=d_true is not None)
     sf2 = jnp.exp(params["log_signal_var"]).astype(jnp.float32)
     scalars = jnp.stack([sf2, jnp.float32(0.0)])
-    K = _cov_pallas(xs1, xs2, scalars, kind, False, n1, n2, _interp())
+    K = _cov_pallas(xs1, xs2, scalars, kind, False, n1, n2, d_true, _interp())
     return K[:n1, :n2]
 
 
@@ -136,13 +183,15 @@ def train_covariance_pallas(params, X, kind="rbf", jitter=1e-6, pad_to=None):
     pad_to: if given, return the full (pad_to, pad_to) matrix with the
     identity padding block (for padded Cholesky); otherwise crop to (n, n).
     """
-    n = X.shape[0]
+    n, d = X.shape
+    d_true = d if d <= _SMALL_D else None
     rows_to = _round_up(pad_to, _BM) if pad_to else _BM
     xs = _prep(params, X, rows_to)
+    xs2 = _prep(params, X, rows_to, transpose=d_true is not None)
     sf2 = jnp.exp(params["log_signal_var"]).astype(jnp.float32)
     sn2 = jnp.exp(params["log_noise_var"]).astype(jnp.float32)
     scalars = jnp.stack([sf2, sn2 + jitter * sf2])
-    K = _cov_pallas(xs, xs, scalars, kind, True, n, n, _interp())
+    K = _cov_pallas(xs, xs2, scalars, kind, True, n, n, d_true, _interp())
     if pad_to:
         return K[:pad_to, :pad_to]
     return K[:n, :n]

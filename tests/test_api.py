@@ -1,0 +1,65 @@
+"""API facade: save/load, predict batching, method switches."""
+
+import os
+
+import numpy as np
+import pytest
+
+from cugp_tpu.api import GP
+from cugp_tpu.data import synthetic
+
+
+@pytest.fixture(scope="module")
+def fitted_gp():
+    X, y, _ = synthetic.sinusoid_1d(n=200, noise_std=0.1, seed=0)
+    gp = GP(kind="rbf", method="xla")
+    gp.fit(X, y, steps=60, learning_rate=0.1)
+    return gp
+
+
+def test_save_load_roundtrip(fitted_gp, tmp_path):
+    path = os.path.join(tmp_path, "gp_ckpt")
+    fitted_gp.save(path)
+    gp2 = GP.load(path)
+    assert gp2.kind == fitted_gp.kind
+    Xs = np.linspace(-2, 2, 16)[:, None]
+    mu1, var1 = fitted_gp.predict(Xs)
+    mu2, var2 = gp2.predict(Xs)
+    np.testing.assert_allclose(np.asarray(mu1), np.asarray(mu2), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(var1), np.asarray(var2), atol=1e-6)
+
+
+def test_load_missing_raises(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        GP.load(os.path.join(tmp_path, "nope"))
+
+
+def test_predict_batching_consistent(fitted_gp):
+    Xs = np.linspace(-2, 2, 100)[:, None]
+    mu_a, var_a = fitted_gp.predict(Xs, batch=4096)
+    mu_b, var_b = fitted_gp.predict(Xs, batch=32)
+    np.testing.assert_allclose(np.asarray(mu_a), np.asarray(mu_b), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(var_a), np.asarray(var_b), atol=1e-5)
+
+
+def test_condition_with_params(fitted_gp):
+    X, y, _ = synthetic.sinusoid_1d(n=64, seed=2)
+    gp = GP(kind="rbf", method="xla").condition(X, y, params=fitted_gp.params)
+    lml = float(gp.log_marginal_likelihood())
+    assert np.isfinite(lml)
+
+
+def test_cli_fit_checkpoint_resume(tmp_path, capsys):
+    from cugp_tpu.cli.__main__ import main
+
+    ckpt = os.path.join(tmp_path, "cli_ckpt")
+    rc = main(["fit", "--data.n=100", "--fit.steps=20",
+               f"--checkpoint_dir={ckpt}"])
+    assert rc == 0
+    out1 = capsys.readouterr().out
+    assert '"resumed": false' in out1
+    rc = main(["fit", "--data.n=100", "--fit.steps=20",
+               f"--checkpoint_dir={ckpt}"])
+    assert rc == 0
+    out2 = capsys.readouterr().out
+    assert '"resumed": true' in out2
