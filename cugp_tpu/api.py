@@ -113,6 +113,32 @@ class GP:
             max_tree_depth=max_tree_depth,
         )
 
+    def log_marginal_likelihood_iterative(self, params=None, *, block=4096,
+                                          num_probes=16, num_steps=32,
+                                          key=None):
+        """Matrix-free LML (CG + stochastic Lanczos) for N beyond the dense
+        Cholesky memory ceiling (inference/iterative.py)."""
+        import jax
+        from cugp_tpu.inference import iterative
+
+        p = params if params is not None else self.params
+        return iterative.lml_iterative(
+            p, self.X, self.y, key=key or jax.random.key(0), kind=self.kind,
+            jitter=self.jitter, block=block, num_probes=num_probes,
+            num_steps=num_steps)
+
+    def predict_iterative(self, Xs, *, block=4096, tol=1e-6,
+                          include_noise=False):
+        """Matrix-free posterior via batched CG solves (no N x N storage)."""
+        import jax.numpy as jnp
+        from cugp_tpu.inference import iterative
+
+        Xs = jnp.asarray(Xs, jnp.float32)
+        return iterative.posterior_iterative(
+            self.params, self.X, self.y, Xs, kind=self.kind,
+            jitter=self.jitter, block=block, tol=tol,
+            include_noise=include_noise)
+
     def save(self, path):
         """Persist hyperparameters + conditioning data (utils.checkpoint)."""
         from cugp_tpu.utils import checkpoint

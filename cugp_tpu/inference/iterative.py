@@ -1,0 +1,199 @@
+"""Iterative (CG/Lanczos) exact-GP inference — beyond-reference surface.
+
+Matrix-free BBMM-style inference (cf. PAPERS.md: "Blackbox Matrix-Matrix
+Gaussian Process Inference", public technique): the covariance is never
+materialized — posterior solves run batched conjugate gradients against a
+blocked kernel matvec (memory O(N * block) instead of O(N^2)), and the
+log-determinant is estimated by stochastic Lanczos quadrature. This lifts
+the N <= 32k single-chip ceiling of the dense Cholesky path (a 100k x 100k
+fp32 K is 40 GB; the matvec needs ~100 MB of tiles).
+
+TPU shape: each matvec step is a (block x N) covariance tile build fused
+with a (block x N) @ (N x rhs) MXU contraction inside one lax.map step;
+CG/Lanczos iterations are lax.while_loop/scan — the whole solve is one XLA
+program.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from cugp_tpu.ops import kernels as kernel_ops
+
+_HI = jax.lax.Precision.HIGHEST
+LOG2PI = math.log(2.0 * math.pi)
+
+
+def make_matvec(params, X, kind="rbf", jitter=1e-6, block=4096):
+    """v -> (K(X,X) + noise I) v without materializing K.
+
+    Row blocks of K are built on the fly (XLA fuses the distance/kernel
+    pipeline into the contraction). v may be (n,) or (n, r).
+    """
+    n, d = X.shape
+    ell = jnp.exp(params["log_lengthscale"])
+    sf2 = jnp.exp(params["log_signal_var"])
+    sn2 = jnp.exp(params["log_noise_var"])
+    diag_add = sn2 + jitter * sf2
+    Xs = X / ell
+    nb = -(-n // block)
+    npad = nb * block
+    Xp = jnp.pad(Xs, ((0, npad - n), (0, 0)))
+
+    def matvec(v):
+        vec = v.ndim == 1
+        v2 = v[:, None] if vec else v
+
+        def one_block(i):
+            rows = jax.lax.dynamic_slice(Xp, (i * block, 0), (block, d))
+            d2 = (jnp.sum(rows**2, -1)[:, None] + jnp.sum(Xs**2, -1)[None, :]
+                  - 2.0 * jnp.dot(rows, Xs.T, precision=_HI))
+            kb = sf2 * kernel_ops.kernel_fn(jnp.maximum(d2, 0.0), kind)
+            return jnp.dot(kb, v2, precision=_HI)  # (block, r)
+
+        out = jax.lax.map(one_block, jnp.arange(nb))  # (nb, block, r)
+        out = out.reshape(npad, -1)[:n]
+        out = out + diag_add * v2
+        return out[:, 0] if vec else out
+
+    return matvec
+
+
+class CGState(NamedTuple):
+    x: jnp.ndarray
+    r: jnp.ndarray
+    p: jnp.ndarray
+    rs: jnp.ndarray
+    it: jnp.ndarray
+
+
+def cg_solve(matvec, b, tol=1e-6, max_iters=1000, precond_diag=None):
+    """Batched conjugate gradients for SPD systems; b is (n,) or (n, r).
+
+    precond_diag: optional (n,) Jacobi preconditioner diagonal.
+    Returns (x, iterations_used).
+    """
+    vec = b.ndim == 1
+    b2 = b[:, None] if vec else b
+    minv = (1.0 / precond_diag)[:, None] if precond_diag is not None else None
+
+    def apply_m(r):
+        return r * minv if minv is not None else r
+
+    bnorm = jnp.maximum(jnp.linalg.norm(b2, axis=0), 1e-30)
+    x0 = jnp.zeros_like(b2)
+    r0 = b2
+    z0 = apply_m(r0)
+    s0 = CGState(x=x0, r=r0, p=z0, rs=jnp.sum(r0 * z0, axis=0),
+                 it=jnp.asarray(0, jnp.int32))
+
+    def cond(s):
+        rel = jnp.linalg.norm(s.r, axis=0) / bnorm
+        return (s.it < max_iters) & jnp.any(rel > tol)
+
+    def body(s):
+        ap = matvec(s.p)
+        denom = jnp.sum(s.p * ap, axis=0)
+        alpha = s.rs / jnp.where(denom == 0, 1.0, denom)
+        x = s.x + alpha[None, :] * s.p
+        r = s.r - alpha[None, :] * ap
+        z = apply_m(r)
+        rs_new = jnp.sum(r * z, axis=0)
+        beta = rs_new / jnp.where(s.rs == 0, 1.0, s.rs)
+        p = z + beta[None, :] * s.p
+        return CGState(x=x, r=r, p=p, rs=rs_new, it=s.it + 1)
+
+    s = jax.lax.while_loop(cond, body, s0)
+    x = s.x[:, 0] if vec else s.x
+    return x, s.it
+
+
+def lanczos_tridiag(matvec, z, num_steps):
+    """Lanczos on SPD operator from start vector z: returns (alphas, betas).
+
+    Full orthogonalization is skipped (standard for SLQ); num_steps is
+    static. alphas (m,), betas (m-1,).
+    """
+    n = z.shape[0]
+    q0 = z / jnp.linalg.norm(z)
+
+    def step(carry, _):
+        q_prev, q, beta_prev = carry
+        v = matvec(q) - beta_prev * q_prev
+        alpha = jnp.dot(q, v)
+        v = v - alpha * q
+        beta = jnp.linalg.norm(v)
+        q_next = v / jnp.where(beta == 0, 1.0, beta)
+        return (q, q_next, beta), (alpha, beta)
+
+    (_, _, _), (alphas, betas) = jax.lax.scan(
+        step, (jnp.zeros(n), q0, jnp.asarray(0.0)), None, length=num_steps)
+    return alphas, betas[:-1]
+
+
+def slq_logdet(matvec, n, key, num_probes=16, num_steps=32):
+    """Stochastic Lanczos quadrature estimate of log det(K).
+
+    E_z[z^T log(K) z] with Rademacher probes; each probe's quadratic form
+    is evaluated from the eigendecomposition of its Lanczos tridiagonal.
+    """
+    def one_probe(key):
+        z = jax.random.rademacher(key, (n,), dtype=jnp.float32)
+        alphas, betas = lanczos_tridiag(matvec, z, num_steps)
+        t = (jnp.diag(alphas) + jnp.diag(betas, 1) + jnp.diag(betas, -1))
+        evals, evecs = jnp.linalg.eigh(t)
+        evals = jnp.maximum(evals, 1e-30)
+        # z^T log(K) z ~ ||z||^2 * sum_i (e1^T v_i)^2 log(lambda_i)
+        w = evecs[0, :] ** 2
+        return jnp.sum(w * jnp.log(evals)) * float(n)
+
+    keys = jax.random.split(key, num_probes)
+    return jnp.mean(jax.vmap(one_probe)(keys))
+
+
+@partial(jax.jit, static_argnames=("kind", "jitter", "block", "tol",
+                                   "max_iters", "num_probes", "num_steps"))
+def lml_iterative(params, X, y, key=None, kind="rbf", jitter=1e-6,
+                  block=4096, tol=1e-5, max_iters=500, num_probes=16,
+                  num_steps=32):
+    """LML via CG (quadratic term) + SLQ (logdet). Matrix-free.
+
+    Stochastic in the logdet term: MC error ~ O(1/sqrt(num_probes)) —
+    suitable for hyperparameter search at scales where dense Cholesky
+    cannot run; use the dense path when it fits.
+    """
+    if key is None:
+        key = jax.random.key(0)
+    mv = make_matvec(params, X, kind=kind, jitter=jitter, block=block)
+    alpha, _ = cg_solve(mv, y, tol=tol, max_iters=max_iters)
+    n = y.shape[0]
+    logdet = slq_logdet(mv, n, key, num_probes=num_probes,
+                        num_steps=num_steps)
+    return -0.5 * jnp.dot(y, alpha) - 0.5 * logdet - 0.5 * n * LOG2PI
+
+
+@partial(jax.jit, static_argnames=("kind", "jitter", "block", "tol",
+                                   "max_iters", "include_noise"))
+def posterior_iterative(params, X, y, Xs, kind="rbf", jitter=1e-6,
+                        block=4096, tol=1e-6, max_iters=1000,
+                        include_noise=False):
+    """Posterior mean + diagonal variance via CG solves (matrix-free).
+
+    mean: K*^T (K^-1 y). variance: k** - diag(K*^T K^-1 K*), with one CG
+    solve per test batch column (batched rhs).
+    """
+    mv = make_matvec(params, X, kind=kind, jitter=jitter, block=block)
+    alpha, _ = cg_solve(mv, y, tol=tol, max_iters=max_iters)
+    Ks = kernel_ops.cross_covariance_xla(params, X, Xs, kind)  # (n, m)
+    mu = Ks.T @ alpha
+    w, _ = cg_solve(mv, Ks, tol=tol, max_iters=max_iters)  # (n, m)
+    sf2 = jnp.exp(params["log_signal_var"])
+    var = sf2 - jnp.sum(Ks * w, axis=0)
+    if include_noise:
+        var = var + jnp.exp(params["log_noise_var"])
+    return mu, jnp.maximum(var, 0.0)

@@ -27,10 +27,34 @@ from cugp_tpu.ops import trsm as trsm_ops
 LOG2PI = math.log(2.0 * math.pi)
 
 
+def safe_cholesky(K, sf2, method="auto", max_attempts=2, jitter0=1e-6):
+    """Cholesky with an escalating-jitter retry ladder (jit-compatible).
+
+    fp32 factorization of a barely-PD covariance can produce NaNs
+    (SURVEY.md section 7, hard part 1). Each failed attempt multiplies the
+    added diagonal jitter by 100x. Bounded unrolled attempts keep shapes
+    static; the extra cost when the first attempt succeeds is one
+    is-finite reduction per level (lax.cond skips the recomputation).
+    """
+    n = K.shape[-1]
+    eye = jnp.eye(n, dtype=K.dtype)
+
+    def attempt(i):
+        extra = jnp.where(i == 0, 0.0, jitter0 * (100.0**i)) * sf2
+        return chol_ops.cholesky(K + extra * eye, method=method)
+
+    L = attempt(0)
+    for i in range(1, max_attempts):
+        ok = jnp.isfinite(jnp.sum(jnp.diagonal(L, axis1=-2, axis2=-1)))
+        L = jax.lax.cond(ok, lambda L: L, lambda L: attempt(i), L)
+    return L
+
+
 def _factorize(params, X, y, kind, jitter, method):
     """K -> L, alpha = K^{-1} y."""
     K = kernel_ops.train_covariance(params, X, kind=kind, jitter=jitter, method=method)
-    L = chol_ops.cholesky(K, method=method)
+    sf2 = jnp.exp(params["log_signal_var"])
+    L = safe_cholesky(K, sf2, method=method, jitter0=max(jitter, 1e-6))
     alpha = trsm_ops.cho_solve(L, y, method="xla" if method == "auto" else method)
     return L, alpha
 

@@ -46,12 +46,11 @@ def _cov_kernel(scal_ref, x1_ref, x2_ref, out_ref, *, kind, square, n1, n2,
     """One (BM, BN) tile of K. scal_ref = [sf2, diag_add] in SMEM.
 
     Two distance paths:
-    - d_true set (small d): direct squared-difference accumulation on the
-      VPU — x1 tile is (BM, d_pad), x2 tile is TRANSPOSED (d_pad, BN), and
-      each true feature contributes one fused (BM,1)-(1,BN) broadcast op.
-      No MXU, no lane-padding FLOPs (the MXU route pads d to 128, a 16x
-      waste at d=8).
-    - d_true None (large d): norm expansion with the cross term on the MXU.
+    - d_true set (small d): norm expansion with the cross term contracted
+      over the 8-padded true feature dim — x1 tile is (BM, 128-padded d),
+      x2 tile is TRANSPOSED (8-padded d, BN); the MXU contraction has K=8
+      instead of a 128-padded K (16x fewer MXU FLOPs at d=8).
+    - d_true None (large d): norm expansion with full-width MXU cross term.
     """
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -99,7 +98,7 @@ def _cov_kernel(scal_ref, x1_ref, x2_ref, out_ref, *, kind, square, n1, n2,
     out_ref[:] = k
 
 
-_SMALL_D = 32  # at or below: VPU squared-difference path (see _cov_kernel)
+_SMALL_D = 32  # at or below: narrow-K MXU contraction path (see _cov_kernel)
 
 
 @functools.partial(

@@ -1,0 +1,78 @@
+"""Matrix-free CG/SLQ inference vs the dense pipeline (beyond-reference)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cugp_tpu.inference import iterative
+from cugp_tpu.models import exact_gp
+from cugp_tpu.ops import kernels as kops
+from cugp_tpu.data import synthetic
+
+
+@pytest.fixture(scope="module")
+def setup():
+    X, y, _ = synthetic.sinusoid_1d(n=500, noise_std=0.2, seed=0)
+    Xj = jnp.asarray(X, jnp.float32)
+    yj = jnp.asarray(y, jnp.float32)
+    params = kops.init_params(d=1, lengthscale=0.8, noise_var=0.05)
+    return params, Xj, yj
+
+
+def test_matvec_matches_dense(setup):
+    params, X, y = setup
+    mv = iterative.make_matvec(params, X, block=128)
+    K = kops.train_covariance_xla(params, X, jitter=1e-6)
+    v = jnp.asarray(np.random.default_rng(0).standard_normal(500), jnp.float32)
+    np.testing.assert_allclose(np.asarray(mv(v)), np.asarray(K @ v),
+                               rtol=1e-4, atol=1e-4)
+    # batched rhs
+    V = jnp.asarray(np.random.default_rng(1).standard_normal((500, 3)),
+                    jnp.float32)
+    np.testing.assert_allclose(np.asarray(mv(V)), np.asarray(K @ V),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_cg_matches_direct_solve(setup):
+    params, X, y = setup
+    mv = iterative.make_matvec(params, X, block=128)
+    K = kops.train_covariance_xla(params, X, jitter=1e-6)
+    x_ref = jnp.linalg.solve(K.astype(jnp.float64) if False else K, y)
+    x, iters = iterative.cg_solve(mv, y, tol=1e-7, max_iters=2000)
+    assert int(iters) < 2000
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref), rtol=5e-3,
+                               atol=5e-3)
+
+
+def test_slq_logdet_close_to_exact(setup):
+    params, X, _ = setup
+    mv = iterative.make_matvec(params, X, block=128)
+    K = kops.train_covariance_xla(params, X, jitter=1e-6)
+    exact = float(2.0 * jnp.sum(jnp.log(jnp.diagonal(
+        jnp.linalg.cholesky(K)))))
+    est = float(iterative.slq_logdet(mv, 500, jax.random.key(0),
+                                     num_probes=32, num_steps=40))
+    # stochastic estimator: a few percent of |logdet| (|exact| ~ 700 here)
+    assert abs(est - exact) / abs(exact) < 0.05
+
+
+def test_lml_iterative_close_to_dense(setup):
+    params, X, y = setup
+    dense = float(exact_gp.log_marginal_likelihood(params, X, y,
+                                                   method="xla"))
+    it = float(iterative.lml_iterative(params, X, y, key=jax.random.key(1),
+                                       block=128, num_probes=32,
+                                       num_steps=40))
+    # logdet MC error dominates; per-datapoint agreement
+    assert abs(it - dense) / 500 < 0.05
+
+
+def test_posterior_iterative_matches_dense(setup):
+    params, X, y = setup
+    Xs = jnp.asarray(np.linspace(-3, 3, 50)[:, None], jnp.float32)
+    mu_d, var_d = exact_gp.posterior(params, X, y, Xs, method="xla")
+    mu_i, var_i = iterative.posterior_iterative(params, X, y, Xs, block=128,
+                                                tol=1e-7)
+    np.testing.assert_allclose(np.asarray(mu_i), np.asarray(mu_d), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(var_i), np.asarray(var_d), atol=2e-3)

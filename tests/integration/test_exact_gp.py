@@ -117,3 +117,26 @@ def test_hyperparameter_recovery():
     np.testing.assert_allclose(sn2, 0.05, rtol=1.0)
     # fit must improve on the init LML
     assert info["loss"][-1] < info["loss"][0]
+
+
+def test_safe_cholesky_recovers_from_nonpd():
+    """Jitter-escalation ladder rescues a barely-PD fp32 covariance."""
+    import jax.numpy as jnp
+    from cugp_tpu.ops import kernels as kops
+
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.uniform(-1, 1, (300, 2)), jnp.float32)
+    # enormous lengthscale + negligible noise: fp32-singular K
+    p = {"log_lengthscale": jnp.asarray([5.0, 5.0], jnp.float32),
+         "log_signal_var": jnp.asarray(0.0, jnp.float32),
+         "log_noise_var": jnp.asarray(-25.0, jnp.float32)}
+    K = kops.train_covariance(p, X, jitter=0.0, method="xla")
+    L_plain = jax.lax.linalg.cholesky(K)
+    assert not bool(jnp.all(jnp.isfinite(L_plain))), "expected plain chol to fail"
+    L_safe = exact_gp.safe_cholesky(K, jnp.exp(p["log_signal_var"]),
+                                    method="xla")
+    assert bool(jnp.all(jnp.isfinite(jnp.diagonal(L_safe))))
+    # LML through the safe path is finite at these pathological params
+    y = jnp.asarray(rng.standard_normal(300), jnp.float32)
+    val = exact_gp.log_marginal_likelihood(p, X, y, jitter=0.0, method="xla")
+    assert np.isfinite(float(val))
