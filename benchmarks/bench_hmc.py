@@ -15,7 +15,7 @@ import jax.numpy as jnp
 def main(argv=None):
     args = dict(a.split("=", 1) for a in (argv or sys.argv[1:])
                 if a.startswith("--"))
-    n = int(args.get("--n", 2048))
+    n = int(args.get("--n", 512))
     chains = int(args.get("--chains", 256))
     samples = int(args.get("--samples", 64))
     warmup = int(args.get("--warmup", 64))

@@ -113,6 +113,32 @@ class GP:
             max_tree_depth=max_tree_depth,
         )
 
+    def sample_posterior(self, Xs, num_samples=8, key=None, jitter=1e-6):
+        """Draw function samples from the posterior at Xs.
+
+        f ~ N(mu, Sigma) via Sigma's Cholesky factor (full posterior
+        covariance; use moderate len(Xs)).
+        """
+        import jax
+        import jax.numpy as jnp
+        from cugp_tpu.models import exact_gp
+
+        if key is None:
+            key = jax.random.key(0)
+        Xs = jnp.asarray(Xs, jnp.float32)
+        mu, cov = exact_gp.posterior_full_cov(
+            self.params, self.X, self.y, Xs, kind=self.kind,
+            jitter=self.jitter, method=self.method)
+        m = cov.shape[0]
+        # posterior covariance can be numerically indefinite at fp32; scale
+        # the jitter by its diagonal and use the escalating-jitter ladder
+        scale = jnp.maximum(jnp.mean(jnp.diagonal(cov)), 1e-12)
+        Ls = exact_gp.safe_cholesky(
+            cov + jitter * scale * jnp.eye(m, dtype=cov.dtype), scale,
+            method="xla", max_attempts=3, jitter0=max(jitter, 1e-6))
+        eps = jax.random.normal(key, (m, num_samples), cov.dtype)
+        return mu[None, :] + (Ls @ eps).T  # (num_samples, m)
+
     def log_marginal_likelihood_iterative(self, params=None, *, block=4096,
                                           num_probes=16, num_steps=32,
                                           key=None):

@@ -29,12 +29,28 @@ _HI = jax.lax.Precision.HIGHEST
 LOG2PI = math.log(2.0 * math.pi)
 
 
-def make_matvec(params, X, kind="rbf", jitter=1e-6, block=4096):
+def make_matvec(params, X, kind="rbf", jitter=1e-6, block=4096,
+                method="auto"):
     """v -> (K(X,X) + noise I) v without materializing K.
 
-    Row blocks of K are built on the fly (XLA fuses the distance/kernel
-    pipeline into the contraction). v may be (n,) or (n, r).
+    method="pallas" (default on TPU for small d): the fused Pallas kernel
+    builds each covariance tile in VMEM and contracts it immediately —
+    zero O(N^2) HBM traffic (ops/cov_pallas.train_cov_matvec_pallas).
+    method="xla": row blocks built on the fly with lax.map.
+    v may be (n,) or (n, r).
     """
+    if method == "auto":
+        method = ("pallas" if jax.default_backend() == "tpu"
+                  and X.shape[1] <= 32 else "xla")
+    if method == "pallas":
+        from cugp_tpu.ops import cov_pallas
+
+        def matvec_pallas(v):
+            return cov_pallas.train_cov_matvec_pallas(params, X, v,
+                                                      kind=kind,
+                                                      jitter=jitter)
+
+        return matvec_pallas
     n, d = X.shape
     ell = jnp.exp(params["log_lengthscale"])
     sf2 = jnp.exp(params["log_signal_var"])

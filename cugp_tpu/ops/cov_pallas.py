@@ -194,3 +194,108 @@ def train_covariance_pallas(params, X, kind="rbf", jitter=1e-6, pad_to=None):
     if pad_to:
         return K[:pad_to, :pad_to]
     return K[:n, :n]
+
+
+def _cov_matvec_kernel(scal_ref, x1_ref, x2_ref, v_ref, out_ref, *, kind,
+                       n1, n2, d_true):
+    """Fused K-tile build + partial matvec: out_i += K_ij @ v_j.
+
+    The (BM, BN) covariance tile lives only in VMEM/registers — the O(N^2)
+    matrix never reaches HBM, which makes the iterative (CG/Lanczos) path
+    compute-bound instead of bandwidth-bound. Output block i is revisited
+    across the j grid dimension and accumulated in place.
+    """
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    sf2 = scal_ref[0]
+    diag_add = scal_ref[1]
+
+    dp8 = -(-d_true // 8) * 8
+    x1 = x1_ref[:]
+    x2t = x2_ref[:]
+    s1 = jnp.sum(x1 * x1, axis=-1, keepdims=True)
+    s2 = jnp.sum(x2t * x2t, axis=0, keepdims=True)
+    cross = jax.lax.dot_general(
+        x1[:, :dp8], x2t, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+    d2 = jnp.maximum(s1 + s2 - 2.0 * cross, 0.0)
+    k = sf2 * kernel_fn(d2, kind)
+
+    row = i * _BM + jax.lax.broadcasted_iota(jnp.int32, (_BM, _BN), 0)
+    col = j * _BN + jax.lax.broadcasted_iota(jnp.int32, (_BM, _BN), 1)
+    k = k + jnp.where(row == col, diag_add, 0.0)
+    k = jnp.where((row >= n1) | (col >= n2), 0.0, k)
+
+    part = jax.lax.dot_general(
+        k, v_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = part
+
+    @pl.when(j != 0)
+    def _():
+        out_ref[:] = out_ref[:] + part
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "n", "d_true",
+                                             "interpret"))
+def _cov_matvec_call(xs1, xs2t, v, scalars, kind, n, d_true, interpret):
+    npad = xs1.shape[0]
+    dp8 = xs2t.shape[0]
+    d = xs1.shape[1]
+    rpad = v.shape[1]
+    grid = (npad // _BM, npad // _BN)
+    kern = functools.partial(_cov_matvec_kernel, kind=kind, n1=n, n2=n,
+                             d_true=d_true)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((_BM, d), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((dp8, _BN), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BN, rpad), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_BM, rpad), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((npad, rpad), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * npad * npad * (d_true + rpad),
+            bytes_accessed=4 * (npad * d + npad * rpad * 2),
+            transcendentals=npad * npad,
+        ),
+        interpret=interpret,
+    )(scalars, xs1, xs2t, v)
+
+
+def train_cov_matvec_pallas(params, X, v, kind="rbf", jitter=1e-6):
+    """(K(X,X) + noise I) @ v with K built tile-by-tile in VMEM.
+
+    v: (n,) or (n, r) with small r (CG/Lanczos probes). Requires
+    d <= _SMALL_D (the GP regime); falls back upstream otherwise.
+    """
+    n, d = X.shape
+    if d > _SMALL_D:
+        raise ValueError(f"fused matvec supports d<={_SMALL_D}, got {d}")
+    vec = v.ndim == 1
+    v2 = v[:, None] if vec else v
+    r = v2.shape[1]
+    rpad = _round_up(r, _LANE)
+    npad = _round_up(n, max(_BM, _BN))
+    xs1 = _prep(params, X, max(_BM, _BN))
+    xs2t = _prep(params, X, max(_BM, _BN), transpose=True)
+    vp = jnp.pad(v2.astype(jnp.float32),
+                 ((0, npad - n), (0, rpad - r)))
+    sf2 = jnp.exp(params["log_signal_var"]).astype(jnp.float32)
+    sn2 = jnp.exp(params["log_noise_var"]).astype(jnp.float32)
+    scalars = jnp.stack([sf2, sn2 + jitter * sf2])
+    out = _cov_matvec_call(xs1, xs2t, vp, scalars, kind, n, d, _interp())
+    out = out[:n, :r]
+    return out[:, 0] if vec else out

@@ -20,7 +20,7 @@ from jax import shard_map
 from cugp_tpu.ops.kernels import kernel_fn
 
 
-def _ring_body(x_loc, y_scaled_unused, *, kind, axis, sf2_c, diag_add_c):
+def _ring_body(x_loc, *, kind, axis, sf2_c, diag_add_c):
     """shard_map body: build my (n_loc, N) row-block of K."""
     me = jax.lax.axis_index(axis)
     R = jax.lax.axis_size(axis)
@@ -71,7 +71,7 @@ def ring_train_covariance(params, X, mesh, kind="rbf", jitter=1e-6,
     # scalars enter the body as 0-d residuals via closure-free operands:
     # shard_map requires explicit specs, so fold them into a tiny array
     def body(x_loc, scal):
-        return _ring_body(x_loc, None, kind=kind, axis=axis,
+        return _ring_body(x_loc, kind=kind, axis=axis,
                           sf2_c=scal[0], diag_add_c=scal[1])
 
     scal = jnp.stack([sf2, sn2 + jitter * sf2])

@@ -63,3 +63,21 @@ def test_cli_fit_checkpoint_resume(tmp_path, capsys):
     assert rc == 0
     out2 = capsys.readouterr().out
     assert '"resumed": true' in out2
+
+
+def test_sample_posterior(fitted_gp):
+    import jax
+
+    Xs = np.linspace(-2, 2, 40)[:, None]
+    draws = fitted_gp.sample_posterior(Xs, num_samples=64,
+                                       key=jax.random.key(3))
+    assert draws.shape == (64, 40)
+    mu, var = fitted_gp.predict(Xs)
+    # statistically sound bounds: mean within 5 MC-standard-errors, var
+    # within the chi^2 spread of 64 draws
+    sd = np.sqrt(np.asarray(var) + 1e-6)
+    err = np.abs(np.asarray(draws).mean(axis=0) - np.asarray(mu))
+    assert np.all(err <= 5.0 * sd / np.sqrt(64) + 1e-3), err.max()
+    emp_var = np.asarray(draws).var(axis=0)
+    ratio = emp_var / (np.asarray(var) + 1e-6)
+    assert np.all((ratio > 0.3) & (ratio < 3.0)), (ratio.min(), ratio.max())
