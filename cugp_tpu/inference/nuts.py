@@ -74,6 +74,10 @@ def _build_subtree(depth, z, key, eps, direction, inv_mass, h0, *,
                    logprob_and_grad, max_depth):
     """Integrate 2^depth leaves in `direction`; progressive multinomial.
 
+    depth may be a TRACED int (fori_loop supports dynamic bounds), so one
+    subtree body serves every doubling — no lax.switch over per-depth
+    variants, which keeps the HLO small (one leapfrog body total).
+
     z: (q, p, grad, logp) starting endpoint (already a tree endpoint; the
     first new leaf is one leapfrog step away).
     Returns a _TreeState for the subtree (endpoint, proposal, weight, flags).
@@ -224,17 +228,10 @@ def nuts_kernel(state, key, eps, inv_mass, logprob_and_grad, max_depth=8):
             jnp.where(go_right, c.grad_plus, c.grad_minus),
             jnp.where(go_right, c.logp_plus, c.logp_minus),
         )
-        # depth is dynamic: build the max-size subtree but only integrate
-        # 2^depth leaves via the switch below
-        st = jax.lax.switch(
-            jnp.minimum(c.depth, max_depth - 1),
-            [
-                partial(_build_subtree, d,
-                        logprob_and_grad=logprob_and_grad,
-                        max_depth=max_depth)
-                for d in range(max_depth)
-            ],
-            z, k_sub, eps, direction, inv_mass, h0,
+        st = _build_subtree(
+            jnp.minimum(c.depth, max_depth - 1), z, k_sub, eps, direction,
+            inv_mass, h0, logprob_and_grad=logprob_and_grad,
+            max_depth=max_depth,
         )
 
         # biased progressive sampling between old tree and new subtree

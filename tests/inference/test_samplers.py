@@ -102,3 +102,24 @@ def test_nuts_gp_hyperparams_small():
     assert rhat < 1.2
     # lengthscale posterior should be in a sane range for this data
     assert -2.0 < ls.mean() < 1.0
+
+
+def test_nuts_neals_funnel_loose():
+    """U-turn handling on Neal's funnel (SURVEY.md sec 4): v ~ N(0,3)."""
+    def logprob(q):
+        v, x = q[0], q[1:]
+        return (-0.5 * (v / 3.0) ** 2
+                - 0.5 * jnp.sum(x * x) * jnp.exp(-v)
+                - 0.5 * (q.shape[0] - 1) * v)
+
+    lp = jax.value_and_grad(logprob)
+    chains, dim = 8, 3
+    q0 = 0.5 * jax.random.normal(jax.random.key(8), (chains, dim))
+    out = nuts_lib.run_nuts(q0, jax.random.key(9), lp, max_depth=8,
+                            num_warmup=500, num_samples=1000, eps0=0.2,
+                            target_accept=0.9)
+    vs = np.asarray(out["samples_flat"])[..., 0].reshape(-1)
+    # funnel is pathological: loose sanity bounds, not exact moments
+    assert abs(vs.mean()) < 1.0
+    assert vs.std() > 1.8
+    assert float(out["divergence_rate"]) < 0.3
