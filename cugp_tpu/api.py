@@ -113,6 +113,34 @@ class GP:
             max_tree_depth=max_tree_depth,
         )
 
+    def fit_sparse(self, X, y, *, num_inducing=512, steps=500,
+                   learning_rate=0.05, optimize_inducing=True, seed=0):
+        """SGPR fit (Titsias collapsed bound, models/sgpr.py): O(n m^2).
+
+        Stores inducing points in self.Z; predict_sparse serves the sparse
+        posterior. Use when n is too large for the dense pipeline.
+        """
+        from cugp_tpu.models import sgpr
+
+        X, y = self._data(X, y)
+        init = self.params or kernel_ops.init_params(d=X.shape[1])
+        params, Z, info = sgpr.fit(
+            init, X, y, num_inducing=num_inducing, kind=self.kind,
+            jitter=self.jitter, steps=steps, learning_rate=learning_rate,
+            optimize_inducing=optimize_inducing, seed=seed)
+        self.params, self.X, self.y = params, X, y
+        self.Z = Z
+        return info
+
+    def predict_sparse(self, Xs, *, include_noise=False):
+        """Posterior mean/variance through the fitted inducing points."""
+        from cugp_tpu.models import sgpr
+
+        Xs = jnp.asarray(Xs, jnp.float32)
+        return sgpr.posterior(self.params, self.Z, self.X, self.y, Xs,
+                              kind=self.kind, jitter=self.jitter,
+                              include_noise=include_noise)
+
     def sample_posterior(self, Xs, num_samples=8, key=None, jitter=1e-6):
         """Draw function samples from the posterior at Xs.
 
