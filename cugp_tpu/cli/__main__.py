@@ -5,6 +5,7 @@ Usage:
   python -m cugp_tpu.cli predict [--data.n=1000 ...]
   python -m cugp_tpu.cli sample  [--sample.num_chains=256 ...]
   python -m cugp_tpu.cli vi      [...]
+  python -m cugp_tpu.cli sgpr    [--data.n=20000 ...]
   python -m cugp_tpu.cli info
 """
 
@@ -119,6 +120,25 @@ def cmd_vi(cfg):
     }, indent=2))
 
 
+def cmd_sgpr(cfg):
+    """Sparse (inducing point) fit + predictive check."""
+    X, y = _load_data(cfg)
+    gp = _make_gp(cfg)
+    t0 = time.perf_counter()
+    info = gp.fit_sparse(X, y, num_inducing=min(cfg.data.n // 4, 512),
+                         steps=cfg.fit.steps,
+                         learning_rate=cfg.fit.learning_rate)
+    dt = time.perf_counter() - t0
+    mu, var = gp.predict_sparse(X[:64])
+    print(json.dumps({
+        "elbo": float(info["elbo"]),
+        "seconds": round(dt, 3),
+        "num_inducing": int(gp.Z.shape[0]),
+        "train_rmse_head": float(np.sqrt(np.mean(
+            (np.asarray(mu) - y[:64]) ** 2))),
+    }, indent=2))
+
+
 def cmd_info(cfg):
     import jax
 
@@ -149,7 +169,7 @@ def main(argv=None):
         return 2
     fn = {
         "fit": cmd_fit, "predict": cmd_predict, "sample": cmd_sample,
-        "vi": cmd_vi, "info": cmd_info,
+        "vi": cmd_vi, "sgpr": cmd_sgpr, "info": cmd_info,
     }.get(cmd)
     if fn is None:
         print(f"unknown command: {cmd}\n{__doc__}", file=sys.stderr)

@@ -88,11 +88,14 @@ class CGState(NamedTuple):
     it: jnp.ndarray
 
 
-def cg_solve(matvec, b, tol=1e-6, max_iters=1000, precond_diag=None):
+def cg_solve(matvec, b, tol=1e-6, max_iters=1000, precond_diag=None,
+             fixed_iters=False):
     """Batched conjugate gradients for SPD systems; b is (n,) or (n, r).
 
     precond_diag: optional (n,) Jacobi preconditioner diagonal.
-    Returns (x, iterations_used).
+    fixed_iters: run exactly max_iters via lax.scan (no data-dependent
+    while_loop — deterministic schedule, and a workaround for backends
+    where long while_loops are fragile). Returns (x, iterations_used).
     """
     vec = b.ndim == 1
     b2 = b[:, None] if vec else b
@@ -124,7 +127,13 @@ def cg_solve(matvec, b, tol=1e-6, max_iters=1000, precond_diag=None):
         p = z + beta[None, :] * s.p
         return CGState(x=x, r=r, p=p, rs=rs_new, it=s.it + 1)
 
-    s = jax.lax.while_loop(cond, body, s0)
+    if fixed_iters:
+        def scan_body(s, _):
+            return body(s), None
+
+        s, _ = jax.lax.scan(scan_body, s0, None, length=max_iters)
+    else:
+        s = jax.lax.while_loop(cond, body, s0)
     x = s.x[:, 0] if vec else s.x
     return x, s.it
 

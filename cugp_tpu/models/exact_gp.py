@@ -50,17 +50,21 @@ def safe_cholesky(K, sf2, method="auto", max_attempts=2, jitter0=1e-6):
     return L
 
 
-def _factorize(params, X, y, kind, jitter, method):
+def _factorize(params, X, y, kind, jitter, method, safe=True):
     """K -> L, alpha = K^{-1} y."""
     K = kernel_ops.train_covariance(params, X, kind=kind, jitter=jitter, method=method)
-    sf2 = jnp.exp(params["log_signal_var"])
-    L = safe_cholesky(K, sf2, method=method, jitter0=max(jitter, 1e-6))
+    if safe:
+        sf2 = jnp.exp(params["log_signal_var"])
+        L = safe_cholesky(K, sf2, method=method, jitter0=max(jitter, 1e-6))
+    else:
+        L = chol_ops.cholesky(K, method=method)
     alpha = trsm_ops.cho_solve(L, y, method="xla" if method == "auto" else method)
     return L, alpha
 
 
-@partial(jax.jit, static_argnames=("kind", "jitter", "method"))
-def log_marginal_likelihood(params, X, y, kind="rbf", jitter=1e-6, method="auto"):
+@partial(jax.jit, static_argnames=("kind", "jitter", "method", "safe"))
+def log_marginal_likelihood(params, X, y, kind="rbf", jitter=1e-6, method="auto",
+                            safe=True):
     """LML = -1/2 y^T alpha - sum_i log L_ii - N/2 log 2pi.
 
     Differentiable w.r.t. params via the custom Cholesky VJP; supports
@@ -68,7 +72,7 @@ def log_marginal_likelihood(params, X, y, kind="rbf", jitter=1e-6, method="auto"
     see data/padding docs) because padded diagonal entries contribute
     log(1)=0 when the covariance builder marks them.
     """
-    L, alpha = _factorize(params, X, y, kind, jitter, method)
+    L, alpha = _factorize(params, X, y, kind, jitter, method, safe)
     n = y.shape[-1]
     logdet_half = jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1)
     quad = jnp.sum(y * alpha, axis=-1)
@@ -77,7 +81,7 @@ def log_marginal_likelihood(params, X, y, kind="rbf", jitter=1e-6, method="auto"
 
 lml_value_and_grad = jax.jit(
     jax.value_and_grad(log_marginal_likelihood),
-    static_argnames=("kind", "jitter", "method"),
+    static_argnames=("kind", "jitter", "method", "safe"),
 )
 
 
