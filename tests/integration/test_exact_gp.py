@@ -140,3 +140,22 @@ def test_safe_cholesky_recovers_from_nonpd():
     y = jnp.asarray(rng.standard_normal(300), jnp.float32)
     val = exact_gp.log_marginal_likelihood(p, X, y, jitter=0.0, method="xla")
     assert np.isfinite(float(val))
+
+
+def test_full_pallas_method_end_to_end(small_dataset, default_params):
+    """method='pallas' (interpret on CPU): whole pipeline through the
+    native-tier kernels agrees with the XLA path."""
+    X, y, _ = small_dataset
+    Xj = jnp.asarray(X, jnp.float32)
+    yj = jnp.asarray(y, jnp.float32)
+    p = _p32(default_params)
+    lml_x = float(exact_gp.log_marginal_likelihood(p, Xj, yj, method="xla"))
+    lml_p = float(exact_gp.log_marginal_likelihood(p, Xj, yj,
+                                                   method="pallas"))
+    assert abs(lml_p - lml_x) / len(y) < 1e-3
+    Xs = jnp.asarray(np.linspace(-3, 3, 32)[:, None], jnp.float32)
+    mu_x, var_x = exact_gp.posterior(p, Xj, yj, Xs, method="xla")
+    mu_p, var_p = exact_gp.posterior(p, Xj, yj, Xs, method="pallas")
+    np.testing.assert_allclose(np.asarray(mu_p), np.asarray(mu_x), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(var_p), np.asarray(var_x),
+                               atol=2e-3)
