@@ -20,7 +20,13 @@ import sys
 
 
 def main():
+    import os
+
     import jax
+
+    if os.environ.get("BENCH_PLATFORM"):
+        # the site env pins JAX_PLATFORMS=axon; only jax.config overrides it
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
     import jax.numpy as jnp
 
     from cugp_tpu.ops import kernels as kops
@@ -38,6 +44,31 @@ def main():
     X = jax.random.uniform(key, (n, d), jnp.float32, -2.0, 2.0)
     params = kops.init_params(d=d, lengthscale=2.0, noise_var=1e-2)
 
+    cov = jax.jit(lambda p, X: kops.train_covariance(
+        p, X, kind="rbf", jitter=1e-6,
+        method="pallas" if on_tpu else "xla"))
+    t_cov = profiling.timed(cov, params, X, iters=2)
+    K = cov(params, X)
+
+    # accuracy gate on a 4096-row block (bounded memory): ||LL^T - K|| / ||K||
+    nb = min(n, 4096)
+    resid = jax.jit(lambda L, K: jnp.max(jnp.abs(
+        jnp.matmul(L[:nb], L[:nb].mT, precision=HI) - K[:nb, :nb]))
+        / jnp.max(jnp.abs(K[:nb, :nb])))
+
+    t_chol = None
+    for attempt_prec in (prec, HI):
+        chol = jax.jit(lambda K, p=attempt_prec: chol_ops.cholesky(
+            K, method=method, precision=p))
+        L = chol(K)
+        relerr = float(resid(L, K))
+        if relerr < 2e-4:
+            t_chol = profiling.timed(chol, K, iters=2)
+            prec = attempt_prec
+            break
+    assert t_chol is not None, (
+        f"cholesky accuracy gate failed at all precisions: relerr={relerr}")
+
     # same-precision GEMM roofline (denominator of vs_baseline), measured
     # with the on-device loop timer so the tunnel RTT doesn't deflate it
     m = min(n, 8192)
@@ -52,24 +83,6 @@ def main():
     gemm_gflops = 2 * m**3 / t_gemm / 1e9
     del a
 
-    cov = jax.jit(lambda p, X: kops.train_covariance(
-        p, X, kind="rbf", jitter=1e-6,
-        method="pallas" if on_tpu else "xla"))
-    t_cov = profiling.timed(cov, params, X, iters=2)
-    K = cov(params, X)
-
-    chol = jax.jit(lambda K: chol_ops.cholesky(K, method=method,
-                                               precision=prec))
-    t_chol = profiling.timed(chol, K, iters=2)
-    L = chol(K)
-
-    # accuracy gate on a 4096-row block (bounded memory): ||LL^T - K|| / ||K||
-    nb = min(n, 4096)
-    resid = jax.jit(lambda L, K: jnp.max(jnp.abs(
-        jnp.matmul(L[:nb], L[:nb].mT, precision=HI) - K[:nb, :nb]))
-        / jnp.max(jnp.abs(K[:nb, :nb])))
-    relerr = float(resid(L, K))
-    assert relerr < 2e-4, f"cholesky accuracy gate failed: relerr={relerr}"
 
     flops = n**3 / 3 + 2 * n**2 * d
     gflops = flops / (t_cov + t_chol) / 1e9
