@@ -16,15 +16,25 @@ from cugp_tpu.models import exact_gp
 
 
 def make_flat_logprob(init_params, X, y, kind="rbf", jitter=1e-6,
-                      method="auto", log_prior=hmc_lib.default_log_prior):
-    """Returns (logprob_and_grad over flat q, unravel, q0_flat)."""
+                      method="auto", log_prior=hmc_lib.default_log_prior,
+                      lml_fn=None):
+    """Returns (logprob_and_grad over flat q, unravel, q0_flat).
+
+    lml_fn: optional override taking the params DICT — e.g. a
+    GSPMD-sharded LML (parallel.distributed_chol.distributed_lml) for the
+    large-N configs where each likelihood evaluation is itself distributed.
+    """
     q0, unravel = ravel_pytree(init_params)
 
-    def lml_fn(q):
-        return exact_gp.log_marginal_likelihood(
-            unravel(q), X, y, kind=kind, jitter=jitter, method=method)
+    if lml_fn is None:
+        def flat_lml(q):
+            return exact_gp.log_marginal_likelihood(
+                unravel(q), X, y, kind=kind, jitter=jitter, method=method)
+    else:
+        def flat_lml(q):
+            return lml_fn(unravel(q))
 
-    return hmc_lib.make_logprob(lml_fn, log_prior), unravel, q0
+    return hmc_lib.make_logprob(flat_lml, log_prior), unravel, q0
 
 
 def init_chains(q0, key, n_chains, scale=0.2):

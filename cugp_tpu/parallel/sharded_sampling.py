@@ -83,3 +83,42 @@ def sample_hyperparams_sharded(init_params, X, y, mesh, *, kind="rbf",
         "eps_per_chip": eps,
         "inv_mass_per_chip": inv_mass,
     }
+
+
+def sample_hyperparams_large_n(init_params, X, y, mesh, *, kind="rbf",
+                               jitter=1e-6, chunk=8192, num_samples=256,
+                               num_chains=4, num_warmup=256, sampler="nuts",
+                               key=None, max_tree_depth=8, eps0=0.1,
+                               target_accept=0.8):
+    """Config-5 shape (BASELINE.json:11): hyperparameter MCMC where every
+    likelihood evaluation is ITSELF sharded over the ('r','c') grid.
+
+    X rows live sharded across the mesh (SP); each leapfrog step runs the
+    distributed covariance + chunked distributed Cholesky (TP); the few
+    chains are vmapped on top (GSPMD batches the sharded program). For
+    chain-parallel small-N sampling use sample_hyperparams_sharded instead.
+    """
+    from cugp_tpu.parallel import distributed_chol
+
+    if key is None:
+        key = jax.random.key(0)
+
+    def lml_fn(params):
+        return distributed_chol.distributed_lml(
+            params, X, y, mesh, kind=kind, jitter=jitter, chunk=chunk)
+
+    logprob_and_grad, unravel, q0 = sampling_lib.make_flat_logprob(
+        init_params, X, y, kind=kind, jitter=jitter, lml_fn=lml_fn)
+    key_init, key_run = jax.random.split(key)
+    qs0 = sampling_lib.init_chains(q0, key_init, num_chains)
+
+    run = nuts_lib.run_nuts if sampler == "nuts" else hmc_lib.run_hmc
+    extra = ({"max_depth": max_tree_depth} if sampler == "nuts"
+             else {"n_leapfrog": 32})
+    out = run(qs0, key_run, logprob_and_grad, num_warmup=num_warmup,
+              num_samples=num_samples, eps0=eps0,
+              target_accept=target_accept, **extra)
+    flat = out.pop("samples_flat")
+    out["samples"] = jax.vmap(jax.vmap(unravel))(flat)
+    out["samples_flat"] = flat
+    return out

@@ -65,3 +65,22 @@ def test_sharded_rejects_bad_chain_count(mesh_dp):
         sharded_sampling.sample_hyperparams_sharded(
             kops.init_params(d=1), jnp.zeros((8, 1)), jnp.zeros(8), mesh_dp,
             num_chains=5)
+
+
+def test_large_n_distributed_sampling(mesh_dp):
+    """Config-5 shape: NUTS where each LML is GSPMD-sharded (tiny sizes)."""
+    from cugp_tpu.parallel import sharded_sampling
+    from cugp_tpu.parallel import mesh as mesh_lib
+    from cugp_tpu.data import synthetic
+    from cugp_tpu.ops import kernels as kops
+
+    mesh = mesh_lib.make_mesh(8, dp=1)  # all chips in the ('r','c') grid
+    X, y, _ = synthetic.sinusoid_1d(n=128, noise_std=0.2, seed=0)
+    out = sharded_sampling.sample_hyperparams_large_n(
+        kops.init_params(d=1, lengthscale=0.8, noise_var=0.05),
+        jnp.asarray(X, jnp.float32), jnp.asarray(y, jnp.float32), mesh,
+        chunk=64, num_chains=2, num_samples=16, num_warmup=24,
+        max_tree_depth=4, key=jax.random.key(0))
+    s = np.asarray(out["samples"]["log_noise_var"])
+    assert s.shape == (16, 2)
+    assert np.all(np.isfinite(s))
