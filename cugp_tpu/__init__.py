@@ -18,8 +18,8 @@ import jax as _jax
 _jax.config.update("jax_default_matmul_precision", "highest")
 
 from cugp_tpu.api import GP
-from cugp_tpu.ops.kernels import init_params
+from cugp_tpu.ops.kernels import init_params, SUPPORTED_KERNELS
 
 __version__ = "0.1.0"
 
-__all__ = ["GP", "init_params", "__version__"]
+__all__ = ["GP", "init_params", "SUPPORTED_KERNELS", "__version__"]

@@ -36,9 +36,20 @@ class GP:
     X: Optional[Any] = None
     y: Optional[Any] = None
 
+    def __post_init__(self):
+        if self.kind not in kernel_ops.SUPPORTED_KERNELS:
+            raise ValueError(
+                f"unknown kernel kind {self.kind!r}; supported: "
+                f"{kernel_ops.SUPPORTED_KERNELS}")
+
     def _data(self, X, y):
         X = jnp.asarray(X, dtype=jnp.float32)
         y = jnp.asarray(y, dtype=jnp.float32)
+        if X.ndim != 2:
+            raise ValueError(f"X must be (n, d), got shape {X.shape}")
+        if y.ndim != 1 or y.shape[0] != X.shape[0]:
+            raise ValueError(
+                f"y must be (n,) matching X (n={X.shape[0]}), got {y.shape}")
         return X, y
 
     def fit(self, X, y, *, steps=200, optimizer="adam", learning_rate=0.05,

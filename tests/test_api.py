@@ -81,3 +81,15 @@ def test_sample_posterior(fitted_gp):
     emp_var = np.asarray(draws).var(axis=0)
     ratio = emp_var / (np.asarray(var) + 1e-6)
     assert np.all((ratio > 0.3) & (ratio < 3.0)), (ratio.min(), ratio.max())
+
+
+def test_gp_validation_errors():
+    import pytest
+
+    with pytest.raises(ValueError, match="kernel kind"):
+        GP(kind="banana")
+    gp = GP(kind="rbf", method="xla")
+    with pytest.raises(ValueError, match="X must be"):
+        gp.condition(np.zeros(5), np.zeros(5))
+    with pytest.raises(ValueError, match="y must be"):
+        gp.condition(np.zeros((5, 1)), np.zeros(4))
