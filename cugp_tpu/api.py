@@ -98,16 +98,24 @@ class GP:
                 jitter=self.jitter, method=self.method,
                 include_noise=include_noise,
             )
+        # pad the ragged final batch so every slice compiles once, and keep
+        # jax arrays throughout (same return type as the small-m path)
         mus, vars_ = [], []
         for lo in range(0, m, batch):
+            xs_b = Xs[lo:lo + batch]
+            pad = batch - xs_b.shape[0]
+            if pad:
+                xs_b = jnp.pad(xs_b, ((0, pad), (0, 0)))
             mu, var = exact_gp.posterior(
-                self.params, self.X, self.y, Xs[lo:lo + batch], kind=self.kind,
+                self.params, self.X, self.y, xs_b, kind=self.kind,
                 jitter=self.jitter, method=self.method,
                 include_noise=include_noise,
             )
-            mus.append(np.asarray(mu))
-            vars_.append(np.asarray(var))
-        return np.concatenate(mus), np.concatenate(vars_)
+            if pad:
+                mu, var = mu[:-pad], var[:-pad]
+            mus.append(mu)
+            vars_.append(var)
+        return jnp.concatenate(mus), jnp.concatenate(vars_)
 
     def sample_hyperparams(self, *, num_samples=512, num_chains=8,
                            num_warmup=256, sampler="nuts", key=None,

@@ -91,10 +91,13 @@ def cmd_sample(cfg):
     gp = _make_gp(cfg)
     gp.condition(X, y)
     t0 = time.perf_counter()
+    import jax
+
     res = gp.sample_hyperparams(
         num_samples=cfg.sample.num_samples, num_chains=cfg.sample.num_chains,
         num_warmup=cfg.sample.num_warmup, sampler=cfg.sample.sampler,
         max_tree_depth=cfg.sample.max_tree_depth,
+        key=jax.random.key(cfg.sample.seed),
     )
     dt = time.perf_counter() - t0
     stats = {

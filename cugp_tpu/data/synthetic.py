@@ -54,11 +54,12 @@ def gp_draw(n=512, d=2, lengthscale=0.7, signal_var=1.5, noise_var=0.05,
 def pad_dataset(X, y, n_padded):
     """Zero-pad (X, y) rows up to n_padded.
 
-    The covariance builder must be told the true row count so that padded
-    diagonal entries are set to 1 and padded off-diagonals to 0 (identity
-    block), which makes Cholesky/LML of the padded system exactly equal to
-    the unpadded one (padded log-diag terms are log 1 = 0 and padded alpha
-    entries are 0).
+    IMPORTANT: pass the TRUE row count to the model as ``n_true`` (e.g.
+    ``exact_gp.log_marginal_likelihood(..., n_true=len(y_orig))``) — the
+    covariance builders then write an identity block beyond it, which makes
+    Cholesky/LML/posterior on the padded system exactly equal to the
+    unpadded one. Without n_true the padded rows are treated as real data
+    points at the origin and the results are wrong.
     """
     n, d = X.shape
     assert n_padded >= n

@@ -15,6 +15,15 @@ from cugp_tpu.inference import nuts as nuts_lib
 from cugp_tpu.models import exact_gp
 
 
+# The samplers take logprob_and_grad as a STATIC jit argument, so handing
+# them a fresh closure per call recompiles the whole (multi-minute) sampler
+# program. This bounded cache returns the SAME closure object for repeated
+# calls with the same data arrays and config; entries hold strong refs to
+# X/y so the id() keys stay valid while cached.
+_LOGPROB_CACHE = {}
+_LOGPROB_CACHE_MAX = 8
+
+
 def make_flat_logprob(init_params, X, y, kind="rbf", jitter=1e-6,
                       method="auto", log_prior=hmc_lib.default_log_prior,
                       lml_fn=None):
@@ -25,6 +34,16 @@ def make_flat_logprob(init_params, X, y, kind="rbf", jitter=1e-6,
     large-N configs where each likelihood evaluation is itself distributed.
     """
     q0, unravel = ravel_pytree(init_params)
+    param_struct = jax.tree.structure(init_params)
+
+    cache_key = (id(X), id(y), kind, jitter, method, id(log_prior),
+                 id(lml_fn) if lml_fn is not None else None, param_struct,
+                 tuple(jax.tree.map(lambda a: a.shape, init_params).values()
+                       if isinstance(init_params, dict) else ()))
+    hit = _LOGPROB_CACHE.get(cache_key)
+    if hit is not None:
+        lp, unrav_cached, _refs = hit
+        return lp, unrav_cached, q0
 
     if lml_fn is None:
         def flat_lml(q):
@@ -34,7 +53,11 @@ def make_flat_logprob(init_params, X, y, kind="rbf", jitter=1e-6,
         def flat_lml(q):
             return lml_fn(unravel(q))
 
-    return hmc_lib.make_logprob(flat_lml, log_prior), unravel, q0
+    lp = hmc_lib.make_logprob(flat_lml, log_prior)
+    if len(_LOGPROB_CACHE) >= _LOGPROB_CACHE_MAX:
+        _LOGPROB_CACHE.pop(next(iter(_LOGPROB_CACHE)))
+    _LOGPROB_CACHE[cache_key] = (lp, unravel, (X, y, log_prior, lml_fn))
+    return lp, unravel, q0
 
 
 def init_chains(q0, key, n_chains, scale=0.2):

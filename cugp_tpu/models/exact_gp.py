@@ -50,9 +50,10 @@ def safe_cholesky(K, sf2, method="auto", max_attempts=2, jitter0=1e-6):
     return L
 
 
-def _factorize(params, X, y, kind, jitter, method, safe=True):
+def _factorize(params, X, y, kind, jitter, method, safe=True, n_true=None):
     """K -> L, alpha = K^{-1} y."""
-    K = kernel_ops.train_covariance(params, X, kind=kind, jitter=jitter, method=method)
+    K = kernel_ops.train_covariance(params, X, kind=kind, jitter=jitter,
+                                    method=method, n_true=n_true)
     if safe:
         sf2 = jnp.exp(params["log_signal_var"])
         L = safe_cholesky(K, sf2, method=method, jitter0=max(jitter, 1e-6))
@@ -62,18 +63,20 @@ def _factorize(params, X, y, kind, jitter, method, safe=True):
     return L, alpha
 
 
-@partial(jax.jit, static_argnames=("kind", "jitter", "method", "safe"))
+@partial(jax.jit, static_argnames=("kind", "jitter", "method", "safe",
+                                   "n_true"))
 def log_marginal_likelihood(params, X, y, kind="rbf", jitter=1e-6, method="auto",
-                            safe=True):
+                            safe=True, n_true=None):
     """LML = -1/2 y^T alpha - sum_i log L_ii - N/2 log 2pi.
 
-    Differentiable w.r.t. params via the custom Cholesky VJP; supports
-    padded inputs (pad X rows with zeros far from data and y with zeros —
-    see data/padding docs) because padded diagonal entries contribute
-    log(1)=0 when the covariance builder marks them.
+    Padded inputs: zero-pad X rows and y, pass the true count as n_true —
+    the covariance builder writes an identity block beyond it, padded
+    log-diagonal terms are log 1 = 0, padded alpha entries are 0, and the
+    -N/2 log 2pi constant uses n_true; the result is exactly the unpadded
+    LML (tested in tests/integration).
     """
-    L, alpha = _factorize(params, X, y, kind, jitter, method, safe)
-    n = y.shape[-1]
+    L, alpha = _factorize(params, X, y, kind, jitter, method, safe, n_true)
+    n = n_true if n_true is not None else y.shape[-1]
     logdet_half = jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1)
     quad = jnp.sum(y * alpha, axis=-1)
     return -0.5 * quad - logdet_half - 0.5 * n * LOG2PI
@@ -85,15 +88,19 @@ lml_value_and_grad = jax.jit(
 )
 
 
-@partial(jax.jit, static_argnames=("kind", "jitter", "method", "include_noise"))
+@partial(jax.jit, static_argnames=("kind", "jitter", "method",
+                                   "include_noise", "n_true"))
 def posterior(params, X, y, Xs, kind="rbf", jitter=1e-6, method="auto",
-              include_noise=False):
+              include_noise=False, n_true=None):
     """Posterior mean and diagonal variance at test points Xs.
 
     mu* = K*^T alpha;  v = L^{-1} K*;  var* = k** - sum(v*v, axis=0).
+    n_true: true training-row count when X/y are zero-padded (cross
+    covariance rows beyond it are masked so padded rows don't contribute).
     """
-    L, alpha = _factorize(params, X, y, kind, jitter, method)
-    Ks = kernel_ops.cross_covariance(params, X, Xs, kind=kind, method=method)
+    L, alpha = _factorize(params, X, y, kind, jitter, method, True, n_true)
+    Ks = kernel_ops.cross_covariance(params, X, Xs, kind=kind, method=method,
+                                     n_true=n_true)
     mu = jnp.einsum("nm,n->m", Ks, alpha)
     V = trsm_ops.solve_lx(L, Ks, method="xla" if method == "auto" else method)
     sf2 = jnp.exp(params["log_signal_var"])

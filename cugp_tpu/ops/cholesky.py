@@ -32,19 +32,8 @@ from jax import lax
 
 from cugp_tpu.ops import trsm as trsm_ops
 
-# Size at or below which we stop recursing and call the base-case potrf.
-_BASE = 1024
-# Recursion split sizes are rounded to multiples of this (MXU-friendly).
-_ALIGN = 256
-
-_HI = lax.Precision.HIGHEST
-
-
-def _split_point(n):
-    """Largest multiple of _ALIGN close to n/2 (static python int)."""
-    half = n // 2
-    m = (half // _ALIGN) * _ALIGN
-    return max(m, _ALIGN)
+from cugp_tpu.ops.blocking import BASE as _BASE, HI as _HI
+from cugp_tpu.ops.blocking import split_point as _split_point
 
 
 def _base_potrf(a, method):
@@ -105,49 +94,13 @@ def _chol_recursive(a, method, precision):
     return jnp.concatenate([top, bot], axis=-2)
 
 
-def _chol_left_looking(a, method, precision, panel=2048):
-    """Left-looking blocked sweep — the minimum-GEMM-FLOP formulation.
-
-    The recursive split does ~n^3/2 GEMM FLOPs for n^3/3 useful work (the
-    trailing square is updated whole at every level), capping it at ~2/3 of
-    the GEMM roofline. Left-looking applies each panel's accumulated update
-    with ONE gemm of exactly the needed shape — total GEMM FLOPs = n^3/3 —
-    at the cost of re-reading L's columns from HBM (n^3/(6*panel) bytes,
-    ~10 GB at n=32k: negligible next to compute). The Python loop over
-    panels unrolls at trace time, so all shapes are static.
-    """
-    n = a.shape[-1]
-    if n <= panel:
-        return _chol_recursive(a, method, precision)
-    nb = -(-n // panel)
-    l = jnp.zeros_like(a)
-    for j in range(nb):
-        lo = j * panel
-        hi = min(lo + panel, n)
-        b = hi - lo
-        col = a[..., lo:, lo:hi]  # (n-lo, b)
-        if j > 0:
-            left = l[..., lo:, :lo]       # rows >= lo of finished columns
-            top = l[..., lo:hi, :lo]      # the diag-block rows
-            col = col - jnp.matmul(left, top.mT, precision=precision)
-        diag = _chol_recursive(col[..., :b, :], method, precision)
-        if hi < n:
-            below = trsm_ops.solve_xlt(diag, col[..., b:, :], method=method,
-                                       precision=precision)
-            colL = jnp.concatenate([diag, below], axis=-2)
-        else:
-            colL = diag
-        l = jax.lax.dynamic_update_slice(
-            l, colL, (l.ndim - 2) * (0,) + (lo, lo))
-    return l
-
-
 @partial(jax.custom_vjp, nondiff_argnums=(1, 2))
 def _cholesky_impl(a, method, precision):
-    # recursive + SYRK-lower beats left-looking on TPU: measured at n=32k
-    # (HIGH precision) recursive=406ms, left-looking=487ms — the per-panel
-    # 4GB dynamic_update_slice writes are not aliased in place by XLA,
-    # while the recursion's concats sit off the critical GEMM path.
+    # recursive + SYRK-lower won the measured shoot-out at n=32k (HIGH
+    # precision): recursive 406ms -> 319ms with SYRK-lower; a left-looking
+    # panel sweep (exact n^3/3 GEMM FLOPs on paper) measured 487ms because
+    # XLA does not alias the per-panel 4GB buffer updates in place. See
+    # PERF.md for the full table.
     return _chol_recursive(a, method, precision)
 
 
@@ -162,8 +115,11 @@ def _cholesky_bwd(method, precision, l, l_bar):
     A_bar = 1/2 L^{-T} (P + P^T) L^{-1},  P = Phi(L^T L_bar),
     with Phi taking the lower triangle and halving the diagonal.
     """
+    n = l.shape[-1]
     p = jnp.matmul(l.mT, l_bar, precision=_HI)
-    p = jnp.tril(p) - 0.5 * jnp.diagflat(jnp.diagonal(p, axis1=-2, axis2=-1))
+    # batched-safe diagonal embedding (diagflat would flatten batch dims)
+    diag_p = jnp.diagonal(p, axis1=-2, axis2=-1)
+    p = jnp.tril(p) - 0.5 * diag_p[..., None, :] * jnp.eye(n, dtype=p.dtype)
     # S = L^{-T} (P + P^T) L^{-1}: two triangular solves.
     sym = p + p.mT
     tmp = lax.linalg.triangular_solve(

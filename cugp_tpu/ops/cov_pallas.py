@@ -163,9 +163,15 @@ def _interp():
     return jax.default_backend() != "tpu"
 
 
-def cross_covariance_pallas(params, X1, X2, kind="rbf"):
-    """K(X1, X2) without noise; output cropped to true (n1, n2)."""
+def cross_covariance_pallas(params, X1, X2, kind="rbf", n1_true=None):
+    """K(X1, X2) without noise; output cropped to true (n1, n2).
+
+    n1_true: rows of X1 at or beyond it are zero-padded training points —
+    their output rows are masked to 0 (padding contract, see module doc).
+    """
     n1, n2 = X1.shape[0], X2.shape[0]
+    if n1_true is not None:
+        n1 = min(n1, n1_true)
     d = X1.shape[1]
     d_true = d if d <= _SMALL_D else None
     xs1 = _prep(params, X1, _BM)
@@ -173,16 +179,20 @@ def cross_covariance_pallas(params, X1, X2, kind="rbf"):
     sf2 = jnp.exp(params["log_signal_var"]).astype(jnp.float32)
     scalars = jnp.stack([sf2, jnp.float32(0.0)])
     K = _cov_pallas(xs1, xs2, scalars, kind, False, n1, n2, d_true, _interp())
-    return K[:n1, :n2]
+    return K[:X1.shape[0], :n2]
 
 
-def train_covariance_pallas(params, X, kind="rbf", jitter=1e-6, pad_to=None):
+def train_covariance_pallas(params, X, kind="rbf", jitter=1e-6, pad_to=None,
+                            n_true=None):
     """K(X, X) + (noise + jitter*signal) I, optionally at padded size.
 
     pad_to: if given, return the full (pad_to, pad_to) matrix with the
     identity padding block (for padded Cholesky); otherwise crop to (n, n).
+    n_true: if X itself carries zero-padded rows at the end, rows/cols at
+    or beyond n_true become the identity block (same contract).
     """
     n, d = X.shape
+    nt = n if n_true is None else min(n, n_true)
     d_true = d if d <= _SMALL_D else None
     rows_to = _round_up(pad_to, _BM) if pad_to else _BM
     xs = _prep(params, X, rows_to)
@@ -190,7 +200,7 @@ def train_covariance_pallas(params, X, kind="rbf", jitter=1e-6, pad_to=None):
     sf2 = jnp.exp(params["log_signal_var"]).astype(jnp.float32)
     sn2 = jnp.exp(params["log_noise_var"]).astype(jnp.float32)
     scalars = jnp.stack([sf2, sn2 + jitter * sf2])
-    K = _cov_pallas(xs, xs2, scalars, kind, True, n, n, d_true, _interp())
+    K = _cov_pallas(xs, xs2, scalars, kind, True, nt, nt, d_true, _interp())
     if pad_to:
         return K[:pad_to, :pad_to]
     return K[:n, :n]

@@ -63,45 +63,72 @@ def scaled_sqdist(X1, X2, lengthscale):
     return jnp.maximum(n1 + n2 - 2.0 * cross, 0.0)
 
 
-@partial(jax.jit, static_argnames=("kind",))
-def cross_covariance_xla(params, X1, X2, kind="rbf"):
-    """K(X1, X2) without noise — XLA path."""
+@partial(jax.jit, static_argnames=("kind", "n_true"))
+def cross_covariance_xla(params, X1, X2, kind="rbf", n_true=None):
+    """K(X1, X2) without noise — XLA path.
+
+    n_true: if X1 is zero-padded beyond row n_true, those rows are masked
+    to 0 so padded training points do not leak into posterior algebra.
+    """
     ell = jnp.exp(params["log_lengthscale"])
     sf2 = jnp.exp(params["log_signal_var"])
     d2 = scaled_sqdist(X1, X2, ell)
-    return sf2 * kernel_fn(d2, kind)
+    K = sf2 * kernel_fn(d2, kind)
+    if n_true is not None and n_true < X1.shape[0]:
+        rows = jnp.arange(X1.shape[0])[:, None]
+        K = jnp.where(rows >= n_true, 0.0, K)
+    return K
 
 
-@partial(jax.jit, static_argnames=("kind", "jitter"))
-def train_covariance_xla(params, X, kind="rbf", jitter=1e-6):
-    """K(X, X) + (noise_var + jitter*signal_var) I — XLA path."""
+@partial(jax.jit, static_argnames=("kind", "jitter", "n_true"))
+def train_covariance_xla(params, X, kind="rbf", jitter=1e-6, n_true=None):
+    """K(X, X) + (noise_var + jitter*signal_var) I — XLA path.
+
+    n_true: rows/cols at or beyond it become an exact identity block, so
+    Cholesky/LML on zero-padded inputs equal the unpadded results (the
+    same contract as cov_pallas.train_covariance_pallas(pad_to=...)).
+    """
     K = cross_covariance_xla(params, X, X, kind)
     sn2 = jnp.exp(params["log_noise_var"])
     sf2 = jnp.exp(params["log_signal_var"])
     n = K.shape[0]
-    return K + (sn2 + jitter * sf2) * jnp.eye(n, dtype=K.dtype)
+    K = K + (sn2 + jitter * sf2) * jnp.eye(n, dtype=K.dtype)
+    if n_true is not None and n_true < n:
+        rows = jnp.arange(n)[:, None]
+        cols = jnp.arange(n)[None, :]
+        pad = (rows >= n_true) | (cols >= n_true)
+        K = jnp.where(pad, jnp.where(rows == cols, 1.0, 0.0), K)
+    return K
 
 
-def cross_covariance(params, X1, X2, kind="rbf", method="auto"):
+def cross_covariance(params, X1, X2, kind="rbf", method="auto", n_true=None):
     """K(X1, X2) without noise. method: 'auto' | 'xla' | 'pallas'."""
     if method == "auto":
         method = "pallas" if _use_pallas(X1.shape[0], X2.shape[0]) else "xla"
     if method == "pallas":
         from cugp_tpu.ops import cov_pallas
 
-        return cov_pallas.cross_covariance_pallas(params, X1, X2, kind)
-    return cross_covariance_xla(params, X1, X2, kind)
+        return cov_pallas.cross_covariance_pallas(
+            params, X1, X2, kind,
+            n1_true=n_true if n_true is not None else X1.shape[0])
+    return cross_covariance_xla(params, X1, X2, kind, n_true=n_true)
 
 
-def train_covariance(params, X, kind="rbf", jitter=1e-6, method="auto"):
-    """K(X, X) + noise/jitter diagonal. method: 'auto' | 'xla' | 'pallas'."""
+def train_covariance(params, X, kind="rbf", jitter=1e-6, method="auto",
+                     n_true=None):
+    """K(X, X) + noise/jitter diagonal. method: 'auto' | 'xla' | 'pallas'.
+
+    n_true: see train_covariance_xla — identity block beyond the true rows.
+    """
     if method == "auto":
         method = "pallas" if _use_pallas(X.shape[0], X.shape[0]) else "xla"
     if method == "pallas":
         from cugp_tpu.ops import cov_pallas
 
-        return cov_pallas.train_covariance_pallas(params, X, kind, jitter)
-    return train_covariance_xla(params, X, kind, jitter)
+        return cov_pallas.train_covariance_pallas(
+            params, X, kind, jitter,
+            n_true=n_true if n_true is not None else X.shape[0])
+    return train_covariance_xla(params, X, kind, jitter, n_true=n_true)
 
 
 def _use_pallas(n1, n2):

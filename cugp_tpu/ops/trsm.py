@@ -21,15 +21,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-_BASE = 1024
-_ALIGN = 256
-_HI = lax.Precision.HIGHEST
-
-
-def _split_point(n):
-    half = n // 2
-    m = (half // _ALIGN) * _ALIGN
-    return max(m, _ALIGN)
+from cugp_tpu.ops.blocking import BASE as _BASE, HI as _HI
+from cugp_tpu.ops.blocking import split_point as _split_point
 
 
 def _base_solve(l, b, *, left, transpose, method):

@@ -59,15 +59,16 @@ def _trsm_kernel(l_ref, b_ref, out_ref, *, nb, transpose):
 def _trsm_call(l, b, transpose, interpret):
     n, k = b.shape
     nb = n // _T
+    bk = min(_BN, k)
     kern = functools.partial(_trsm_kernel, nb=nb, transpose=transpose)
     return pl.pallas_call(
         kern,
-        grid=(k // _BN,),
+        grid=(k // bk,),
         in_specs=[
             pl.BlockSpec((n, n), lambda j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, _BN), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, bk), lambda j: (0, j), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((n, _BN), lambda j: (0, j),
+        out_specs=pl.BlockSpec((n, bk), lambda j: (0, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, k), jnp.float32),
         cost_estimate=pl.CostEstimate(
@@ -94,7 +95,7 @@ def trsm(l, b, left=True, transpose=False, interpret=None):
         # X op(L) = B  <=>  op(L)^T X^T = B^T
         xt = trsm(l, b.mT if b.ndim > 1 else b, left=True,
                   transpose=not transpose, interpret=interpret)
-        return xt.mT
+        return xt.mT if xt.ndim > 1 else xt
 
     vec = b.ndim == l.ndim - 1
     if vec:
@@ -102,7 +103,9 @@ def trsm(l, b, left=True, transpose=False, interpret=None):
     n = l.shape[-1]
     k = b.shape[-1]
     npad = _round_up(n, _T)
-    kpad = _round_up(k, _BN)
+    # rhs padded to the 128-lane minimum; the grid tiles by min(_BN, kpad)
+    # so a single-vector solve doesn't pay for 256 zero columns
+    kpad = _round_up(k, 128)
     if npad != n:
         # pad L with an identity block so padded solves are exact
         eye = jnp.eye(npad - n, dtype=l.dtype)

@@ -37,8 +37,7 @@ from cugp_tpu.ops import trsm as trsm_ops
 _HI = jax.lax.Precision.HIGHEST
 
 
-def _wsc(x, mesh, spec):
-    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+from cugp_tpu.parallel.mesh import wsc as _wsc
 
 
 def distributed_cholesky(K, mesh, chunk=8192, method="auto"):

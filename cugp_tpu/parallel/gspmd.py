@@ -27,8 +27,7 @@ from cugp_tpu.ops import kernels as kernel_ops
 from cugp_tpu.inference import map_opt
 
 
-def _wsc(x, mesh, spec):
-    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+from cugp_tpu.parallel.mesh import wsc as _wsc
 
 
 def lml_sharded(params, X, y, mesh, kind="rbf", jitter=1e-6):

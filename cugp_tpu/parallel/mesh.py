@@ -60,3 +60,8 @@ SPECS = {
 
 def sharding(mesh, name):
     return NamedSharding(mesh, SPECS[name])
+
+
+def wsc(x, mesh, spec):
+    """with_sharding_constraint under a named mesh (shared helper)."""
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))

@@ -47,9 +47,10 @@ def sample_hyperparams_sharded(init_params, X, y, mesh, *, kind="rbf",
     if key is None:
         key = jax.random.key(0)
 
+    key_init, key_run = jax.random.split(key)
     logprob_and_grad, unravel, q0 = sampling_lib.make_flat_logprob(
         init_params, X, y, kind=kind, jitter=jitter, method=method)
-    qs0 = sampling_lib.init_chains(q0, key, num_chains)
+    qs0 = sampling_lib.init_chains(q0, key_init, num_chains)
 
     run = nuts_lib.run_nuts if sampler == "nuts" else hmc_lib.run_hmc
     extra = ({"max_depth": max_tree_depth} if sampler == "nuts"
@@ -74,7 +75,7 @@ def sample_hyperparams_sharded(init_params, X, y, mesh, *, kind="rbf",
         check_vma=False,
     )
     samples_flat, accept, eps, inv_mass = fn(
-        qs0, jax.random.key_data(key))
+        qs0, jax.random.key_data(key_run))
     samples = jax.vmap(jax.vmap(unravel))(samples_flat)
     return {
         "samples": samples,

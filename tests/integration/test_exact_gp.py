@@ -87,18 +87,27 @@ def test_analytic_grad_jax_matches_ad(small_dataset, default_params):
 
 
 def test_padding_invariance(default_params):
-    """Padded identity-block covariance gives identical LML and posterior."""
+    """n_true padding contract: padded LML and posterior EXACTLY match the
+    unpadded results (the padded rows become an identity block)."""
     X, y, _ = synthetic.sinusoid_1d(n=100, seed=3)
     Xp, yp = synthetic.pad_dataset(X, y, 128)
-    # emulate padded covariance: the padded rows sit at x=0 which is IN the
-    # data range, so instead test the model invariance explicitly via the
-    # builder mask once the Pallas path lands. Here: LML with n=100 only.
     p = _p32(default_params)
-    lml = exact_gp.log_marginal_likelihood(
-        p, jnp.asarray(X, jnp.float32), jnp.asarray(y, jnp.float32),
-        method="xla",
-    )
-    assert np.isfinite(float(lml))
+    Xj = jnp.asarray(X, jnp.float32)
+    yj = jnp.asarray(y, jnp.float32)
+    Xpj = jnp.asarray(Xp, jnp.float32)
+    ypj = jnp.asarray(yp, jnp.float32)
+
+    lml = float(exact_gp.log_marginal_likelihood(p, Xj, yj, method="xla"))
+    lml_pad = float(exact_gp.log_marginal_likelihood(
+        p, Xpj, ypj, method="xla", n_true=100))
+    assert abs(lml_pad - lml) < 1e-3, (lml_pad, lml)
+
+    Xs = jnp.asarray(np.linspace(-3, 3, 33)[:, None], jnp.float32)
+    mu, var = exact_gp.posterior(p, Xj, yj, Xs, method="xla")
+    mu_p, var_p = exact_gp.posterior(p, Xpj, ypj, Xs, method="xla",
+                                     n_true=100)
+    np.testing.assert_allclose(np.asarray(mu_p), np.asarray(mu), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(var_p), np.asarray(var), atol=1e-4)
 
 
 def test_hyperparameter_recovery():

@@ -72,3 +72,21 @@ def test_custom_vjp_matches_xla_grad(rng):
     g_ref = jax.grad(f_ref)(a32)
     np.testing.assert_allclose(np.asarray(g_ours), np.asarray(g_ref),
                                rtol=1e-3, atol=1e-5)
+
+
+def test_batched_cholesky_gradient(rng):
+    """Custom VJP must handle leading batch dims (regression: diagflat)."""
+    n = 16
+    batch = np.stack([_spd(n, rng), _spd(n, rng)])
+    a = jnp.asarray(batch, jnp.float32)
+
+    def f(a):
+        l = chol_ops.cholesky(a, method="blocked")
+        return jnp.sum(jnp.log(jnp.abs(jnp.diagonal(l, axis1=-2, axis2=-1))))
+
+    g = jax.grad(f)(a)
+    assert g.shape == (2, n, n)
+    g_ref = jax.grad(lambda a: jnp.sum(jnp.log(jnp.diagonal(
+        jnp.linalg.cholesky(a), axis1=-2, axis2=-1))))(a)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), rtol=1e-3,
+                               atol=1e-5)

@@ -80,3 +80,18 @@ def test_pallas_trsm_interpret(left, transpose, rng):
                          jnp.asarray(b, jnp.float32), left=left,
                          transpose=transpose, interpret=True)
     np.testing.assert_allclose(np.asarray(x), x_ref, rtol=2e-2, atol=1e-3)
+
+
+def test_pallas_trsm_right_side_vector(rng):
+    """Right-side solves with 1-D b (regression: xt.mT crash)."""
+    from cugp_tpu.ops import trsm_pallas
+
+    n = 128
+    l = _lower(n, rng)
+    b = rng.standard_normal(n)
+    x = trsm_pallas.trsm(jnp.asarray(l, jnp.float32),
+                         jnp.asarray(b, jnp.float32), left=False,
+                         transpose=True, interpret=True)
+    x_ref = sla.solve_triangular(l, b, lower=True)  # x L^T = b  <=>  L x = b
+    assert x.shape == (n,)
+    np.testing.assert_allclose(np.asarray(x), x_ref, rtol=2e-3, atol=1e-4)
