@@ -222,3 +222,108 @@ def posterior_iterative(params, X, y, Xs, kind="rbf", jitter=1e-6,
     if include_noise:
         var = var + jnp.exp(params["log_noise_var"])
     return mu, jnp.maximum(var, 0.0)
+
+
+def _dk_tile(rows, cols, ell, sf2, kind, wrt, k_dim):
+    """One (b, n) tile of dK/d(log theta) for stationary kernels.
+
+    rows/cols are UNSCALED inputs; wrt in {"log_signal_var",
+    "log_lengthscale"} (noise handled in closed form by the caller).
+    Derivative algebra matches models.exact_gp.lml_gradients_analytic.
+    """
+    rs = rows / ell
+    cs = cols / ell
+    d2 = (jnp.sum(rs**2, -1)[:, None] + jnp.sum(cs**2, -1)[None, :]
+          - 2.0 * jnp.dot(rs, cs.T, precision=_HI))
+    d2 = jnp.maximum(d2, 0.0)
+    kf = sf2 * kernel_ops.kernel_fn(d2, kind)
+    if wrt == "log_signal_var":
+        return kf
+    # d k / d d2
+    r = jnp.sqrt(jnp.maximum(d2, 1e-30))
+    if kind == "rbf":
+        dk_dd2 = -0.5 * kf
+    elif kind == "matern12":
+        dk_dd2 = sf2 * jnp.exp(-r) * (-0.5 / r)
+    elif kind == "matern32":
+        dk_dd2 = sf2 * (-1.5) * jnp.exp(-math.sqrt(3.0) * r)
+    elif kind == "matern52":
+        s5 = math.sqrt(5.0)
+        dk_dd2 = sf2 * (-(5.0 / 6.0)) * (1.0 + s5 * r) * jnp.exp(-s5 * r)
+    else:
+        raise ValueError(kind)
+    diff2 = (rows[:, None, k_dim] - cols[None, :, k_dim]) ** 2 / ell[k_dim]**2
+    dK = dk_dd2 * (-2.0 * diff2)
+    # r=0 diagonal entries have zero derivative (mask numerical noise)
+    return jnp.where(d2 <= 1e-30, 0.0, dK)
+
+
+def make_dk_matvec(params, X, wrt, k_dim=0, kind="rbf", block=4096):
+    """v -> (dK/d log theta) v, matrix-free (same blocking as make_matvec)."""
+    n, d = X.shape
+    ell = jnp.exp(params["log_lengthscale"])
+    sf2 = jnp.exp(params["log_signal_var"])
+    nb = -(-n // block)
+    npad = nb * block
+    Xp = jnp.pad(X, ((0, npad - n), (0, 0)))
+
+    def matvec(v):
+        v2 = v[:, None] if v.ndim == 1 else v
+
+        def one_block(i):
+            rows = jax.lax.dynamic_slice(Xp, (i * block, 0), (block, d))
+            dk = _dk_tile(rows, X, ell, sf2, kind, wrt, k_dim)
+            return jnp.dot(dk, v2, precision=_HI)
+
+        out = jax.lax.map(one_block, jnp.arange(nb)).reshape(npad, -1)[:n]
+        return out[:, 0] if v.ndim == 1 else out
+
+    return matvec
+
+
+@partial(jax.jit, static_argnames=("kind", "jitter", "block", "tol",
+                                   "max_iters", "num_probes"))
+def lml_value_and_grad_iterative(params, X, y, key=None, kind="rbf",
+                                 jitter=1e-6, block=4096, tol=1e-5,
+                                 max_iters=500, num_probes=16):
+    """Matrix-free LML gradient (BBMM-style training step).
+
+    dLML/dtheta = 1/2 (alpha^T dK alpha - tr(K^{-1} dK)), with the trace
+    estimated by Hutchinson probes solved with batched CG:
+      tr(K^{-1} dK) ~ E_z[(K^{-1} z)^T dK z],  z Rademacher.
+    Returns (quad-form LML value WITHOUT the logdet term, grads dict) —
+    for optimization only the gradients matter; use lml_iterative for a
+    comparable value with the SLQ logdet.
+    """
+    if key is None:
+        key = jax.random.key(0)
+    n, d = X.shape
+    mv = make_matvec(params, X, kind=kind, jitter=jitter, block=block)
+    alpha, _ = cg_solve(mv, y, tol=tol, max_iters=max_iters)
+
+    z = jax.random.rademacher(key, (n, num_probes), dtype=jnp.float32)
+    w, _ = cg_solve(mv, z, tol=tol, max_iters=max_iters)  # K^{-1} z
+
+    sn2 = jnp.exp(params["log_noise_var"])
+    grads = {}
+    # noise: dK = sn2 I -> closed form
+    grads["log_noise_var"] = 0.5 * sn2 * (
+        jnp.dot(alpha, alpha) - jnp.mean(jnp.sum(w * z, axis=0)) * 1.0)
+    # signal variance (+ jitter term folded: dK diag includes jitter*sf2)
+    sf2 = jnp.exp(params["log_signal_var"])
+    dmv = make_dk_matvec(params, X, "log_signal_var", kind=kind, block=block)
+    dk_alpha = dmv(alpha) + jitter * sf2 * alpha
+    dk_z = dmv(z) + jitter * sf2 * z
+    grads["log_signal_var"] = 0.5 * (
+        jnp.dot(alpha, dk_alpha) - jnp.mean(jnp.sum(w * dk_z, axis=0)))
+    # lengthscales
+    g_ell = []
+    for k_dim in range(d):
+        dmv = make_dk_matvec(params, X, "log_lengthscale", k_dim=k_dim,
+                             kind=kind, block=block)
+        g_ell.append(0.5 * (jnp.dot(alpha, dmv(alpha))
+                            - jnp.mean(jnp.sum(w * dmv(z), axis=0))))
+    grads["log_lengthscale"] = jnp.stack(g_ell)
+
+    value = -0.5 * jnp.dot(y, alpha)  # quad term only (no logdet)
+    return value, grads

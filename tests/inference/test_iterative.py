@@ -93,3 +93,19 @@ def test_pallas_fused_matvec_matches_dense(setup):
     outV = cov_pallas.train_cov_matvec_pallas(params, X, V, jitter=1e-6)
     np.testing.assert_allclose(np.asarray(outV), np.asarray(K @ V),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_matrix_free_gradients_match_dense(setup):
+    """BBMM-style Hutchinson gradients vs AD through the dense pipeline."""
+    params, X, y = setup
+    _, g_ref = exact_gp.lml_value_and_grad(params, X, y, kind="rbf",
+                                           method="xla")
+    _, g = iterative.lml_value_and_grad_iterative(
+        params, X, y, key=jax.random.key(5), block=128, tol=1e-6,
+        max_iters=1000, num_probes=64)
+    for k in g_ref:
+        ref = np.asarray(g_ref[k])
+        est = np.asarray(g[k])
+        # Hutchinson MC error on the trace term: a few percent of scale
+        np.testing.assert_allclose(est, ref, rtol=0.15,
+                                   atol=0.15 * max(1.0, np.abs(ref).max()))
