@@ -56,6 +56,7 @@ def _cov_kernel(scal_ref, x1_ref, x2_ref, out_ref, *, kind, square, n1, n2,
     j = pl.program_id(1)
     sf2 = scal_ref[0]
     diag_add = scal_ref[1]
+    alpha = scal_ref[2]
 
     if d_true is not None:
         dp8 = -(-d_true // 8) * 8
@@ -83,7 +84,7 @@ def _cov_kernel(scal_ref, x1_ref, x2_ref, out_ref, *, kind, square, n1, n2,
             precision=jax.lax.Precision.HIGHEST,
         )
         d2 = jnp.maximum(s1 + s2 - 2.0 * cross, 0.0)
-    k = sf2 * kernel_fn(d2, kind)
+    k = sf2 * kernel_fn(d2, kind, alpha)
 
     row = i * _BM + jax.lax.broadcasted_iota(jnp.int32, (_BM, _BN), 0)
     col = j * _BN + jax.lax.broadcasted_iota(jnp.int32, (_BM, _BN), 1)
@@ -177,7 +178,9 @@ def cross_covariance_pallas(params, X1, X2, kind="rbf", n1_true=None):
     xs1 = _prep(params, X1, _BM)
     xs2 = _prep(params, X2, _BN, transpose=d_true is not None)
     sf2 = jnp.exp(params["log_signal_var"]).astype(jnp.float32)
-    scalars = jnp.stack([sf2, jnp.float32(0.0)])
+    alpha = (jnp.exp(params["log_alpha"]).astype(jnp.float32)
+             if kind == "rq" and "log_alpha" in params else jnp.float32(1.0))
+    scalars = jnp.stack([sf2, jnp.float32(0.0), alpha])
     K = _cov_pallas(xs1, xs2, scalars, kind, False, n1, n2, d_true, _interp())
     return K[:X1.shape[0], :n2]
 
@@ -199,7 +202,9 @@ def train_covariance_pallas(params, X, kind="rbf", jitter=1e-6, pad_to=None,
     xs2 = _prep(params, X, rows_to, transpose=d_true is not None)
     sf2 = jnp.exp(params["log_signal_var"]).astype(jnp.float32)
     sn2 = jnp.exp(params["log_noise_var"]).astype(jnp.float32)
-    scalars = jnp.stack([sf2, sn2 + jitter * sf2])
+    alpha = (jnp.exp(params["log_alpha"]).astype(jnp.float32)
+             if kind == "rq" and "log_alpha" in params else jnp.float32(1.0))
+    scalars = jnp.stack([sf2, sn2 + jitter * sf2, alpha])
     K = _cov_pallas(xs, xs2, scalars, kind, True, nt, nt, d_true, _interp())
     if pad_to:
         return K[:pad_to, :pad_to]
@@ -219,6 +224,7 @@ def _cov_matvec_kernel(scal_ref, x1_ref, x2_ref, v_ref, out_ref, *, kind,
     j = pl.program_id(1)
     sf2 = scal_ref[0]
     diag_add = scal_ref[1]
+    alpha = scal_ref[2]
 
     dp8 = -(-d_true // 8) * 8
     x1 = x1_ref[:]
@@ -230,7 +236,7 @@ def _cov_matvec_kernel(scal_ref, x1_ref, x2_ref, v_ref, out_ref, *, kind,
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST)
     d2 = jnp.maximum(s1 + s2 - 2.0 * cross, 0.0)
-    k = sf2 * kernel_fn(d2, kind)
+    k = sf2 * kernel_fn(d2, kind, alpha)
 
     row = i * _BM + jax.lax.broadcasted_iota(jnp.int32, (_BM, _BN), 0)
     col = j * _BN + jax.lax.broadcasted_iota(jnp.int32, (_BM, _BN), 1)
@@ -305,7 +311,9 @@ def train_cov_matvec_pallas(params, X, v, kind="rbf", jitter=1e-6):
                  ((0, npad - n), (0, rpad - r)))
     sf2 = jnp.exp(params["log_signal_var"]).astype(jnp.float32)
     sn2 = jnp.exp(params["log_noise_var"]).astype(jnp.float32)
-    scalars = jnp.stack([sf2, sn2 + jitter * sf2])
+    alpha = (jnp.exp(params["log_alpha"]).astype(jnp.float32)
+             if kind == "rq" and "log_alpha" in params else jnp.float32(1.0))
+    scalars = jnp.stack([sf2, sn2 + jitter * sf2, alpha])
     out = _cov_matvec_call(xs1, xs2t, vp, scalars, kind, n, d, _interp())
     out = out[:n, :r]
     return out[:, 0] if vec else out

@@ -24,7 +24,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-SUPPORTED_KERNELS = ("rbf", "matern12", "matern32", "matern52")
+SUPPORTED_KERNELS = ("rbf", "matern12", "matern32", "matern52", "rq")
 
 _SQRT3 = math.sqrt(3.0)
 _SQRT5 = math.sqrt(5.0)
@@ -36,10 +36,17 @@ _SQRT5 = math.sqrt(5.0)
 _R2_EPS = 1e-12
 
 
-def kernel_fn(d2, kind):
-    """Kernel value as a function of scaled squared distance (unit amplitude)."""
+def kernel_fn(d2, kind, alpha=None):
+    """Kernel value as a function of scaled squared distance (unit amplitude).
+
+    alpha: rational-quadratic mixture parameter (required for kind="rq";
+    rq -> rbf as alpha -> inf).
+    """
     if kind == "rbf":
         return jnp.exp(-0.5 * d2)
+    if kind == "rq":
+        a = jnp.asarray(1.0 if alpha is None else alpha)
+        return jnp.exp(-a * jnp.log1p(d2 / (2.0 * a)))
     r = jnp.sqrt(jnp.maximum(d2, _R2_EPS))
     if kind == "matern12":
         return jnp.exp(-r)
@@ -73,7 +80,9 @@ def cross_covariance_xla(params, X1, X2, kind="rbf", n_true=None):
     ell = jnp.exp(params["log_lengthscale"])
     sf2 = jnp.exp(params["log_signal_var"])
     d2 = scaled_sqdist(X1, X2, ell)
-    K = sf2 * kernel_fn(d2, kind)
+    alpha = (jnp.exp(params["log_alpha"])
+             if kind == "rq" and "log_alpha" in params else None)
+    K = sf2 * kernel_fn(d2, kind, alpha)
     if n_true is not None and n_true < X1.shape[0]:
         rows = jnp.arange(X1.shape[0])[:, None]
         K = jnp.where(rows >= n_true, 0.0, K)
@@ -138,10 +147,17 @@ def _use_pallas(n1, n2):
     return n1 >= 1024 and n2 >= 1024
 
 
-def init_params(d=1, lengthscale=1.0, signal_var=1.0, noise_var=0.1, dtype=jnp.float32):
-    """Convenience constructor for the log-space hyperparameter dict."""
-    return {
+def init_params(d=1, lengthscale=1.0, signal_var=1.0, noise_var=0.1,
+                alpha=None, dtype=jnp.float32):
+    """Convenience constructor for the log-space hyperparameter dict.
+
+    alpha: include a rational-quadratic mixture parameter (kind="rq").
+    """
+    p = {
         "log_lengthscale": jnp.full((d,), math.log(lengthscale), dtype=dtype),
         "log_signal_var": jnp.asarray(math.log(signal_var), dtype=dtype),
         "log_noise_var": jnp.asarray(math.log(noise_var), dtype=dtype),
     }
+    if alpha is not None:
+        p["log_alpha"] = jnp.asarray(math.log(alpha), dtype=dtype)
+    return p

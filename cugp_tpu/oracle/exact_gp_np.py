@@ -16,7 +16,7 @@ from scipy import linalg as sla
 
 LOG2PI = float(np.log(2.0 * np.pi))
 
-SUPPORTED_KERNELS = ("rbf", "matern12", "matern32", "matern52")
+SUPPORTED_KERNELS = ("rbf", "matern12", "matern32", "matern52", "rq")
 
 
 def _as_params(params):
@@ -34,10 +34,13 @@ def scaled_sqdist(X1, X2, lengthscale):
     return np.maximum(d2, 0.0)
 
 
-def kernel_fn(d2, kind):
+def kernel_fn(d2, kind, alpha=None):
     """Kernel value as a function of the scaled squared distance."""
     if kind == "rbf":
         return np.exp(-0.5 * d2)
+    if kind == "rq":
+        a = 1.0 if alpha is None else float(alpha)
+        return (1.0 + d2 / (2.0 * a)) ** (-a)
     r = np.sqrt(np.maximum(d2, 0.0))
     if kind == "matern12":
         return np.exp(-r)
@@ -56,7 +59,9 @@ def kernel_matrix(params, X1, X2, kind="rbf"):
     ell = np.exp(p["log_lengthscale"])
     sf2 = np.exp(p["log_signal_var"])
     d2 = scaled_sqdist(X1, X2, ell)
-    return sf2 * kernel_fn(d2, kind)
+    alpha = (np.exp(p["log_alpha"]) if kind == "rq" and "log_alpha" in p
+             else None)
+    return sf2 * kernel_fn(d2, kind, alpha)
 
 
 def train_covariance(params, X, kind="rbf", jitter=1e-6):

@@ -63,6 +63,10 @@ def ring_train_covariance(params, X, mesh, kind="rbf", jitter=1e-6,
 
     X: (n, d) with n divisible by the size of mesh axis `axis`.
     """
+    if kind == "rq":
+        raise NotImplementedError(
+            "ring covariance supports the fixed-parameter kernels; use the "
+            "GSPMD covariance path for rq")
     ell = jnp.exp(params["log_lengthscale"]).astype(jnp.float32)
     sf2 = jnp.exp(params["log_signal_var"]).astype(jnp.float32)
     sn2 = jnp.exp(params["log_noise_var"]).astype(jnp.float32)

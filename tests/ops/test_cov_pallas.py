@@ -49,11 +49,22 @@ def test_train_covariance_padded_identity_block(rng, default_params):
     np.testing.assert_array_equal(K[:100, 100:], 0.0)
     np.testing.assert_array_equal(K[100:, 100:], np.eye(156))
     # LML path equivalence: chol of padded == chol of unpadded + identity
-    # (same fp32 matrix, so agreement is exact up to float64-chol roundoff)
-    L = np.linalg.cholesky(K)
-    L_ref = np.linalg.cholesky(K[:100, :100])
+    # (same fp32 matrix; factor in float64 so LAPACK's size-dependent
+    # blocking doesn't introduce fp32 rounding differences)
+    L = np.linalg.cholesky(K.astype(np.float64))
+    L_ref = np.linalg.cholesky(K[:100, :100].astype(np.float64))
     np.testing.assert_allclose(L[:100, :100], L_ref, rtol=1e-6, atol=1e-7)
     assert abs(np.sum(np.log(np.diag(L))) - np.sum(np.log(np.diag(L_ref)))) < 1e-6
     # and the fp32 K itself matches the float64 oracle covariance
     K_ref = oracle.train_covariance(p, X, "rbf", jitter=1e-6)
     np.testing.assert_allclose(K[:100, :100], K_ref, rtol=1e-4, atol=1e-5)
+
+
+def test_rq_pallas_matches_oracle(rng, default_params):
+    X = rng.uniform(-2, 2, size=(150, 2))
+    p = dict(default_params, log_lengthscale=np.log([0.8, 1.1]),
+             log_alpha=np.array(np.log(1.5)))
+    K_ref = oracle.train_covariance(p, X, "rq", jitter=1e-6)
+    K = cov_pallas.train_covariance_pallas(
+        _p32(p), jnp.asarray(X, jnp.float32), "rq", jitter=1e-6)
+    np.testing.assert_allclose(np.asarray(K), K_ref, rtol=1e-4, atol=1e-5)

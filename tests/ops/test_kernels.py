@@ -48,3 +48,37 @@ def test_init_params_shapes():
     assert p["log_lengthscale"].shape == (3,)
     assert p["log_signal_var"].shape == ()
     np.testing.assert_allclose(np.exp(p["log_lengthscale"]), 0.5, rtol=1e-6)
+
+
+def test_rq_kernel_matches_oracle(rng, default_params):
+    X1 = rng.uniform(-2, 2, size=(50, 2))
+    X2 = rng.uniform(-2, 2, size=(30, 2))
+    p = dict(default_params, log_lengthscale=np.log([0.8, 1.1]),
+             log_alpha=np.array(np.log(2.0)))
+    K_ref = oracle.kernel_matrix(p, X1, X2, "rq")
+    K = kops.cross_covariance(_params32(p), jnp.asarray(X1, jnp.float32),
+                              jnp.asarray(X2, jnp.float32), "rq",
+                              method="xla")
+    np.testing.assert_allclose(np.asarray(K), K_ref, rtol=2e-5, atol=2e-6)
+    # rq -> rbf as alpha -> inf
+    p_big = dict(p, log_alpha=np.array(np.log(1e6)))
+    K_rq = kops.cross_covariance(_params32(p_big), jnp.asarray(X1, jnp.float32),
+                                 jnp.asarray(X2, jnp.float32), "rq",
+                                 method="xla")
+    K_rbf = kops.cross_covariance(_params32(p), jnp.asarray(X1, jnp.float32),
+                                  jnp.asarray(X2, jnp.float32), "rbf",
+                                  method="xla")
+    np.testing.assert_allclose(np.asarray(K_rq), np.asarray(K_rbf), atol=1e-4)
+
+
+def test_rq_end_to_end_fit(rng):
+    """RQ hyperparameters (incl. alpha) learn via AD out of the box."""
+    from cugp_tpu.api import GP
+    from cugp_tpu.data import synthetic
+
+    X, y, _ = synthetic.sinusoid_1d(n=150, noise_std=0.2, seed=9)
+    gp = GP(kind="rq", method="xla")
+    init = kops.init_params(d=1, alpha=1.0)
+    info = gp.fit(X, y, steps=80, learning_rate=0.1, init=init)
+    assert np.isfinite(float(info["lml"]))
+    assert "log_alpha" in gp.params
