@@ -160,11 +160,15 @@ def main(argv=None):
     cmd, argv = argv[0], argv[1:]
     # --platform=cpu|tpu must be handled before jax initializes; the site
     # env pins JAX_PLATFORMS=axon so only jax.config can override it.
+    profile_dir = None
     for arg in list(argv):
         if arg.startswith("--platform="):
             import jax
 
             jax.config.update("jax_platforms", arg.split("=", 1)[1])
+            argv.remove(arg)
+        elif arg.startswith("--profile="):
+            profile_dir = arg.split("=", 1)[1]
             argv.remove(arg)
     cfg, rest = config_lib.parse_overrides(argv)
     if rest:
@@ -177,7 +181,14 @@ def main(argv=None):
     if fn is None:
         print(f"unknown command: {cmd}\n{__doc__}", file=sys.stderr)
         return 2
-    fn(cfg)
+    if profile_dir:
+        from cugp_tpu.utils import profiling
+
+        with profiling.xprof_trace(profile_dir):
+            fn(cfg)
+        print(f"xprof trace written to {profile_dir}", file=sys.stderr)
+    else:
+        fn(cfg)
     return 0
 
 
