@@ -115,3 +115,19 @@ def test_gspmd_lml_sharded(mesh2d):
         lambda p, X, y: gspmd.lml_sharded(p, X, y, mesh2d, kind="rbf"))(
             p, Xj, yj)
     assert abs(float(val) - float(ref)) / 256 < 1e-3
+
+
+@pytest.mark.parametrize("dp,block", [(2, 64), (1, 128)])
+def test_block_cyclic_other_mesh_shapes(dp, block, rng):
+    """Non-4x2 grids: (r=2,c=2) via dp=2, and (r=4,c=2) with block=128."""
+    from cugp_tpu.parallel import block_cyclic
+
+    mesh = mesh_lib.make_mesh(8, dp=dp)
+    R, C = mesh.shape["r"], mesh.shape["c"]
+    n = block * R * C * 2  # divisible by block*R and block*C
+    a = _spd(n, rng)
+    l_ref = np.linalg.cholesky(np.asarray(a, np.float64))
+    l = block_cyclic.block_cyclic_cholesky(jnp.asarray(a), mesh, block=block)
+    rec = np.asarray(l) @ np.asarray(l).T
+    np.testing.assert_allclose(rec, a, rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(l), l_ref, rtol=2e-2, atol=2e-4)
