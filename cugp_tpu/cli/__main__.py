@@ -64,6 +64,12 @@ def cmd_fit(cfg):
     dt = time.perf_counter() - t0
     if cfg.checkpoint_dir:
         gp.save(cfg.checkpoint_dir)
+    if cfg.metrics_file:
+        from cugp_tpu.utils.metrics import MetricsLogger
+
+        with MetricsLogger(cfg.metrics_file) as m:
+            m.log_series("neg_lml", info["loss"])
+            m.log(event="fit_done", seconds=dt, lml=float(info["lml"]))
     out = {
         "lml": float(info["lml"]),
         "seconds": round(dt, 3),

@@ -65,6 +65,7 @@ class Config:
     mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
     checkpoint_dir: Optional[str] = None
     checkpoint_every: int = 0    # 0 = disabled
+    metrics_file: Optional[str] = None  # JSON-lines per-step metrics
 
 
 def _set_dotted(cfg, path, value):

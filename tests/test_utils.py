@@ -68,3 +68,16 @@ def test_cost_analysis_runs():
 
     costs = profiling.cost_analysis(lambda x: x @ x, jnp.ones((64, 64)))
     assert costs is None or isinstance(costs, dict)
+
+
+def test_metrics_logger_roundtrip(tmp_path):
+    from cugp_tpu.utils import metrics
+
+    path = os.path.join(tmp_path, "m.jsonl")
+    with metrics.MetricsLogger(path) as m:
+        m.log_series("loss", [3.0, 2.0, 1.0])
+        m.log(event="done", lml=1.25)
+    recs = metrics.read_metrics(path)
+    assert len(recs) == 4
+    assert recs[0]["loss"] == 3.0 and recs[0]["step"] == 0
+    assert recs[-1]["event"] == "done"
