@@ -5,7 +5,10 @@ Config-3 shape: vmapped chains on one chip (BASELINE.json:9).
 """
 
 import json
+import os
 import sys
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
 import time
 
 import jax

@@ -7,7 +7,10 @@ plus the measured same-precision GEMM roofline (the denominator for the
 """
 
 import json
+import os
 import sys
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
 
 import jax
 import jax.numpy as jnp

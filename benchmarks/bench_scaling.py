@@ -10,7 +10,10 @@ Usage: python benchmarks/bench_scaling.py [--fake=8] [--dp=1,2,4] [--n=512]
 """
 
 import json
+import os
 import sys
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
 import time
 
 

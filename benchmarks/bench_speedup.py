@@ -9,7 +9,10 @@ Usage: python benchmarks/bench_speedup.py [--n=4096] [--d=4]
 """
 
 import json
+import os
 import sys
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
 import time
 
 import numpy as np
