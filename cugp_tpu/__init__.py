@@ -7,15 +7,19 @@ solves, LML gradients, MAP / HMC / NUTS / VI over kernel hyperparameters,
 and GSPMD/shard_map distribution (2D block-cyclic Cholesky over ICI).
 """
 
+import os as _os
+
 import jax as _jax
 
 # GP covariances are numerically fragile: on TPU the default matmul precision
 # routes fp32 operands through bf16 MXU passes, which perturbs K at the 1e-3
-# level and makes Cholesky fail (NaN) as soon as the noise is small. All dots
-# in this library therefore run at fp32 ("highest") precision by default;
-# kernels that can tolerate bf16 opt out explicitly. (SURVEY.md section 3.5,
-# dtype policy.)
-_jax.config.update("jax_default_matmul_precision", "highest")
+# level and makes Cholesky fail (NaN) as soon as the noise is small. Hot-path
+# ops pass precision= explicitly; this default covers remaining library dots.
+# Host applications embedding cugp_tpu that do NOT want their process-global
+# matmul precision changed can opt out with CUGP_TPU_NO_GLOBAL_PRECISION=1
+# (library accuracy then rests on the explicit per-op precision arguments).
+if not _os.environ.get("CUGP_TPU_NO_GLOBAL_PRECISION"):
+    _jax.config.update("jax_default_matmul_precision", "highest")
 
 from cugp_tpu.api import GP
 from cugp_tpu.ops.kernels import init_params, SUPPORTED_KERNELS

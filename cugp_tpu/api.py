@@ -219,17 +219,31 @@ class GP:
         checkpoint.save(path, {"params": self.params, "X": self.X,
                                "y": self.y},
                         extra_json={"kind": self.kind, "jitter": self.jitter,
-                                    "method": self.method})
+                                    "method": self.method,
+                                    "param_keys": sorted(self.params)})
 
     @classmethod
     def load(cls, path):
-        """Restore a GP saved with save()."""
+        """Restore a GP saved with save().
+
+        The probe tree is rebuilt from the saved param key names (recorded
+        in meta extra_json), so kernels with extra hyperparameters — e.g.
+        'rq' with log_alpha — roundtrip correctly. Checkpoints from before
+        param_keys was recorded fall back on the leaf count (6 leaves =
+        3 base params + log_alpha + X + y).
+        """
         import numpy as np
         from cugp_tpu.utils import checkpoint
 
-        probe = {"params": {"log_lengthscale": np.zeros(1),
-                            "log_signal_var": np.zeros(()),
-                            "log_noise_var": np.zeros(())},
+        meta0 = checkpoint.peek_meta(path)
+        if meta0 is None:
+            raise FileNotFoundError(path)
+        keys = meta0.get("extra", {}).get("param_keys")
+        if keys is None:
+            keys = ["log_lengthscale", "log_noise_var", "log_signal_var"]
+            if meta0.get("num_leaves") == 6:
+                keys.append("log_alpha")
+        probe = {"params": {k: np.zeros(()) for k in keys},
                  "X": np.zeros((1, 1)), "y": np.zeros(1)}
         tree, meta = checkpoint.restore(path, probe)
         if tree is None:

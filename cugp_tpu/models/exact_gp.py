@@ -84,7 +84,7 @@ def log_marginal_likelihood(params, X, y, kind="rbf", jitter=1e-6, method="auto"
 
 lml_value_and_grad = jax.jit(
     jax.value_and_grad(log_marginal_likelihood),
-    static_argnames=("kind", "jitter", "method", "safe"),
+    static_argnames=("kind", "jitter", "method", "safe", "n_true"),
 )
 
 
@@ -101,7 +101,8 @@ def posterior(params, X, y, Xs, kind="rbf", jitter=1e-6, method="auto",
     L, alpha = _factorize(params, X, y, kind, jitter, method, True, n_true)
     Ks = kernel_ops.cross_covariance(params, X, Xs, kind=kind, method=method,
                                      n_true=n_true)
-    mu = jnp.einsum("nm,n->m", Ks, alpha)
+    mu = jnp.einsum("nm,n->m", Ks, alpha,
+                    precision=jax.lax.Precision.HIGHEST)
     V = trsm_ops.solve_lx(L, Ks, method="xla" if method == "auto" else method)
     sf2 = jnp.exp(params["log_signal_var"])
     var = sf2 - jnp.sum(V * V, axis=0)
@@ -116,7 +117,8 @@ def posterior_full_cov(params, X, y, Xs, kind="rbf", jitter=1e-6, method="auto")
     L, alpha = _factorize(params, X, y, kind, jitter, method)
     Ks = kernel_ops.cross_covariance(params, X, Xs, kind=kind, method=method)
     Kss = kernel_ops.cross_covariance(params, Xs, Xs, kind=kind, method=method)
-    mu = jnp.einsum("nm,n->m", Ks, alpha)
+    mu = jnp.einsum("nm,n->m", Ks, alpha,
+                    precision=jax.lax.Precision.HIGHEST)
     V = trsm_ops.solve_lx(L, Ks, method="xla" if method == "auto" else method)
     cov = Kss - jnp.matmul(V.T, V, precision=jax.lax.Precision.HIGHEST)
     return mu, cov

@@ -44,12 +44,41 @@ def save(path, tree, step=None, extra_json=None):
         }
         with open(os.path.join(tmp, "meta.json"), "w") as f:
             json.dump(meta, f)
+        # Atomic replace: move any existing checkpoint ASIDE first (rename,
+        # not rmtree), swing tmp into place, then delete the old one — a
+        # crash at any point leaves either the old or the new checkpoint
+        # restorable, never neither. Works whether `path` was a directory or
+        # a stray regular file.
+        old = path.rstrip(os.sep) + ".old"
+        if os.path.isdir(old):
+            shutil.rmtree(old)  # stale leftover from a previous crash
+        elif os.path.exists(old):
+            os.remove(old)
         if os.path.exists(path):
-            shutil.rmtree(path)
+            os.rename(path, old)
         os.rename(tmp, path)
+        if os.path.isdir(old):
+            shutil.rmtree(old, ignore_errors=True)
+        elif os.path.exists(old):
+            os.remove(old)
     finally:
         if os.path.exists(tmp):
             shutil.rmtree(tmp, ignore_errors=True)
+
+
+def peek_meta(path):
+    """Read a checkpoint's meta.json without restoring arrays.
+
+    Lets callers build the restore probe tree from the saved key names
+    (e.g. GP.load deciding whether log_alpha is present). Returns the meta
+    dict, or None if no checkpoint exists at path (or its .old fallback).
+    """
+    for p in (path, path.rstrip(os.sep) + ".old"):
+        mp = os.path.join(p, "meta.json")
+        if os.path.exists(mp) and os.path.exists(os.path.join(p, "arrays.npz")):
+            with open(mp) as f:
+                return json.load(f)
+    return None
 
 
 def restore(path, example_tree):
@@ -58,7 +87,12 @@ def restore(path, example_tree):
     Returns (tree, meta) or (None, None) if path doesn't exist.
     """
     if not os.path.exists(os.path.join(path, "arrays.npz")):
-        return None, None
+        # crash mid-swap in save() can leave only the renamed-aside copy
+        old = path.rstrip(os.sep) + ".old"
+        if os.path.exists(os.path.join(old, "arrays.npz")):
+            path = old
+        else:
+            return None, None
     blob = np.load(os.path.join(path, "arrays.npz"))
     with open(os.path.join(path, "meta.json")) as f:
         meta = json.load(f)

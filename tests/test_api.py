@@ -29,6 +29,25 @@ def test_save_load_roundtrip(fitted_gp, tmp_path):
     np.testing.assert_allclose(np.asarray(var1), np.asarray(var2), atol=1e-6)
 
 
+def test_save_load_roundtrip_rq(tmp_path):
+    """rq params include log_alpha — load must rebuild the probe tree from
+    the saved key names (ADVICE round 1, medium)."""
+    from cugp_tpu.ops import kernels as kernel_ops
+
+    X, y, _ = synthetic.sinusoid_1d(n=64, noise_std=0.1, seed=1)
+    gp = GP(kind="rq", method="xla")
+    gp.condition(X, y, params=kernel_ops.init_params(d=1, alpha=2.0))
+    path = os.path.join(tmp_path, "gp_rq_ckpt")
+    gp.save(path)
+    gp2 = GP.load(path)
+    assert gp2.kind == "rq"
+    assert "log_alpha" in gp2.params
+    Xs = np.linspace(-2, 2, 16)[:, None]
+    mu1, _ = gp.predict(Xs)
+    mu2, _ = gp2.predict(Xs)
+    np.testing.assert_allclose(np.asarray(mu1), np.asarray(mu2), atol=1e-6)
+
+
 def test_load_missing_raises(tmp_path):
     with pytest.raises(FileNotFoundError):
         GP.load(os.path.join(tmp_path, "nope"))
