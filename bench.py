@@ -13,6 +13,16 @@ vs_baseline: achieved / (0.70 * measured same-precision GEMM roofline on
 this chip). The reference published no numbers (BASELINE.md), so the
 operative baseline is the ">=70% of roofline FLOPs" target from
 BASELINE.json:5 — vs_baseline = 1.0 means exactly on target, >1 beats it.
+
+MEMORY DISCIPLINE (the round-1 run died RESOURCE_EXHAUSTED holding the
+accuracy-gate L alive while timing a second 4 GB factorization): no N x N
+array is ever held on device across program invocations here. The gate is
+a scalar-output program; the timed factorization is a fused cov->chol
+program whose only output is diag(L) (which still forces the entire
+factorization — the last diagonal element depends on every panel); the
+GEMM roofline is measured before any N=32k work. Peak device footprint is
+the inside of ONE program (~3x N^2 fp32 = 12 GB at N=32k), never a sum
+across programs.
 """
 
 import json
@@ -34,59 +44,77 @@ def main():
     from cugp_tpu.utils import profiling
 
     on_tpu = jax.default_backend() == "tpu"
-    n = 32768 if on_tpu else 2048
+    n = int(os.environ.get("BENCH_N", 32768 if on_tpu else 2048))
     d = 8
     HI = jax.lax.Precision.HIGHEST
     prec = jax.lax.Precision.HIGH if on_tpu else HI
     method = "blocked" if on_tpu else "xla"
+    cov_method = "pallas" if on_tpu else "xla"
 
     key = jax.random.key(0)
     X = jax.random.uniform(key, (n, d), jnp.float32, -2.0, 2.0)
     params = kops.init_params(d=d, lengthscale=2.0, noise_var=1e-2)
 
-    cov = jax.jit(lambda p, X: kops.train_covariance(
-        p, X, kind="rbf", jitter=1e-6,
-        method="pallas" if on_tpu else "xla"))
-    t_cov = profiling.timed(cov, params, X, iters=2)
-    K = cov(params, X)
-
-    # accuracy gate on a 4096-row block (bounded memory): ||LL^T - K|| / ||K||
-    nb = min(n, 4096)
-    resid = jax.jit(lambda L, K: jnp.max(jnp.abs(
-        jnp.matmul(L[:nb], L[:nb].mT, precision=HI) - K[:nb, :nb]))
-        / jnp.max(jnp.abs(K[:nb, :nb])))
-
-    t_chol = None
-    for attempt_prec in (prec, HI):
-        chol = jax.jit(lambda K, p=attempt_prec: chol_ops.cholesky(
-            K, method=method, precision=p))
-        L = chol(K)
-        relerr = float(resid(L, K))
-        if relerr < 2e-4:
-            t_chol = profiling.timed(chol, K, iters=2)
-            prec = attempt_prec
-            break
-    assert t_chol is not None, (
-        f"cholesky accuracy gate failed at all precisions: relerr={relerr}")
-
-    # same-precision GEMM roofline (denominator of vs_baseline), measured
-    # with the on-device loop timer so the tunnel RTT doesn't deflate it
+    # ---- GEMM roofline FIRST (512 MB footprint), before any N^2 work.
+    # Measured for both candidate precisions with the on-device loop timer
+    # so the tunnel RTT doesn't deflate it.
     m = min(n, 8192)
     a = jax.jit(lambda k: jax.random.normal(k, (m, m), jnp.float32))(key)
+    gemm_gflops = {}
+    for p in {prec, HI}:
+        def gemm_step(ab, p=p):
+            x, y_ = ab
+            c = jnp.matmul(x, y_, precision=p)
+            return (x, c * jax.lax.rsqrt(jnp.mean(c * c) + 1e-9))
 
-    def gemm_step(ab):
-        x, y_ = ab
-        c = jnp.matmul(x, y_, precision=prec)
-        return (x, c * jax.lax.rsqrt(jnp.mean(c * c) + 1e-9))
-
-    t_gemm = profiling.timed_loop(gemm_step, (a, a), iters=6)
-    gemm_gflops = 2 * m**3 / t_gemm / 1e9
+        t_gemm = profiling.timed_loop(gemm_step, (a, a), iters=6)
+        gemm_gflops[p] = 2 * m**3 / t_gemm / 1e9
     del a
 
+    def build_k(p_, X_):
+        return kops.train_covariance(p_, X_, kind="rbf", jitter=1e-6,
+                                     method=cov_method)
+
+    # ---- accuracy gate: scalar-output program — K and L live only inside
+    # one XLA program; nothing N-sized survives it on device.
+    nb = min(n, 4096)
+
+    def gate_fn(p_, X_, cp):
+        K = build_k(p_, X_)
+        L = chol_ops.cholesky(K, method=method, precision=cp)
+        r = jnp.matmul(L[:nb], L[:nb].mT, precision=HI) - K[:nb, :nb]
+        return jnp.max(jnp.abs(r)) / jnp.max(jnp.abs(K[:nb, :nb]))
+
+    chosen = None
+    for attempt_prec in (prec, HI):
+        gate = jax.jit(lambda p_, X_, cp=attempt_prec: gate_fn(p_, X_, cp))
+        relerr = float(gate(params, X))
+        if relerr < 2e-4:
+            chosen = attempt_prec
+            break
+    assert chosen is not None, (
+        f"cholesky accuracy gate failed at all precisions: relerr={relerr}")
+    prec = chosen
+
+    # ---- timings. t_cov alone (K is a transient output, freed per call);
+    # then the fused cov->chol program returning only diag(L).
+    # The GEMM roofline (denominator) is measured with the on-device loop
+    # timer, i.e. without the tunnel's per-call dispatch RTT; subtract the
+    # same measured RTT here so numerator and denominator are comparable
+    # (a directly-attached chip would not pay it either).
+    rtt = profiling.rtt_overhead()
+
+    cov = jax.jit(lambda p_, X_: build_k(p_, X_))
+    t_cov = max(profiling.timed(cov, params, X, iters=2) - rtt, 1e-9)
+
+    both = jax.jit(lambda p_, X_: jnp.diagonal(chol_ops.cholesky(
+        build_k(p_, X_), method=method, precision=prec)))
+    t_both = max(profiling.timed(both, params, X, iters=2) - rtt, 1e-9)
+    t_chol = max(t_both - t_cov, 1e-9)
 
     flops = n**3 / 3 + 2 * n**2 * d
-    gflops = flops / (t_cov + t_chol) / 1e9
-    target = 0.70 * gemm_gflops
+    gflops = flops / t_both / 1e9
+    target = 0.70 * gemm_gflops[prec]
     print(json.dumps({
         "metric": f"cov+chol GFLOP/s/chip @ N={n}",
         "value": round(gflops, 2),
@@ -96,7 +124,8 @@ def main():
             "t_cov_s": round(t_cov, 4),
             "t_chol_s": round(t_chol, 4),
             "chol_tflops": round(n**3 / 3 / t_chol / 1e12, 2),
-            "gemm_roofline_gflops": round(gemm_gflops, 2),
+            "gemm_roofline_gflops": round(gemm_gflops[prec], 2),
+            "gemm_roofline_fp32_gflops": round(gemm_gflops[HI], 2),
             "chol_recon_relerr": relerr,
             "precision": str(prec),
             "n": n,
