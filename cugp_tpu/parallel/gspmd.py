@@ -48,15 +48,35 @@ def lml_sharded(params, X, y, mesh, kind="rbf", jitter=1e-6):
             - 0.5 * n * exact_gp.LOG2PI)
 
 
-def make_map_train_step(mesh, kind="rbf", jitter=1e-6, learning_rate=0.05):
-    """One GSPMD-sharded Adam step on the LML. Returns (step_fn, tx)."""
+def make_map_train_step(mesh, kind="rbf", jitter=1e-6, learning_rate=0.05,
+                        lml_backend="chunked", chunk=8192):
+    """One GSPMD-sharded Adam step on the LML. Returns (step_fn, tx).
+
+    lml_backend:
+      'chunked' (default) — distributed_chol.distributed_lml: the chunked
+        right-looking sweep whose TRSM/SYRK trailing updates GSPMD genuinely
+        partitions over ('r','c'). This is the honest sharded factorization.
+      'gspmd' — lml_sharded above: sharding constraints around
+        lax.linalg.cholesky. XLA cannot partition the Cholesky op itself, so
+        only the O(N^2) covariance is sharded (the factorization gathers);
+        kept for comparison and small N.
+    """
     tx = optax.apply_if_finite(optax.adam(learning_rate), 1000)
+    if lml_backend == "chunked":
+        from cugp_tpu.parallel import distributed_chol
+
+        def lml(p, X, y):
+            return distributed_chol.distributed_lml(
+                p, X, y, mesh, kind=kind, jitter=jitter, chunk=chunk)
+    elif lml_backend == "gspmd":
+        def lml(p, X, y):
+            return lml_sharded(p, X, y, mesh, kind=kind, jitter=jitter)
+    else:
+        raise ValueError(f"unknown lml_backend: {lml_backend}")
 
     @jax.jit
     def step(params, opt_state, X, y):
-        loss, grads = jax.value_and_grad(
-            lambda p: -lml_sharded(p, X, y, mesh, kind=kind, jitter=jitter)
-        )(params)
+        loss, grads = jax.value_and_grad(lambda p: -lml(p, X, y))(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = map_opt._clamp(optax.apply_updates(params, updates))
         return params, opt_state, loss
