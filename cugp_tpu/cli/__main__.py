@@ -99,23 +99,44 @@ def cmd_sample(cfg):
     t0 = time.perf_counter()
     import jax
 
-    res = gp.sample_hyperparams(
-        num_samples=cfg.sample.num_samples, num_chains=cfg.sample.num_chains,
-        num_warmup=cfg.sample.num_warmup, sampler=cfg.sample.sampler,
-        max_tree_depth=cfg.sample.max_tree_depth,
-        key=jax.random.key(cfg.sample.seed),
-    )
+    if cfg.checkpoint_dir:
+        # chain-state checkpoint/resume: a killed run re-invoked with the
+        # same --checkpoint_dir continues from the last saved segment
+        from cugp_tpu.inference import sampling
+
+        res = sampling.sample_hyperparams_checkpointed(
+            gp.params, gp.X, gp.y, checkpoint_dir=cfg.checkpoint_dir,
+            checkpoint_every=cfg.sample.checkpoint_every, kind=cfg.model.kind,
+            jitter=cfg.model.jitter, method=cfg.model.method,
+            num_samples=cfg.sample.num_samples,
+            num_chains=cfg.sample.num_chains,
+            num_warmup=cfg.sample.num_warmup, sampler=cfg.sample.sampler,
+            max_tree_depth=cfg.sample.max_tree_depth,
+            key=jax.random.key(cfg.sample.seed),
+        )
+    else:
+        res = gp.sample_hyperparams(
+            num_samples=cfg.sample.num_samples,
+            num_chains=cfg.sample.num_chains,
+            num_warmup=cfg.sample.num_warmup, sampler=cfg.sample.sampler,
+            max_tree_depth=cfg.sample.max_tree_depth,
+            key=jax.random.key(cfg.sample.seed),
+        )
     dt = time.perf_counter() - t0
     stats = {
         k: {"mean": np.asarray(v).mean(axis=(0, 1)).tolist(),
             "std": np.asarray(v).std(axis=(0, 1)).tolist()}
         for k, v in res["samples"].items()
     }
-    print(json.dumps({
+    out = {
         "seconds": round(dt, 3),
         "accept_rate": float(np.asarray(res["accept_rate"]).mean()),
         "posterior": stats,
-    }, indent=2))
+    }
+    if "resumed" in res:
+        out["resumed"] = bool(res["resumed"])
+        out["draws_done"] = int(res["draws_done"])
+    print(json.dumps(out, indent=2))
 
 
 def cmd_vi(cfg):

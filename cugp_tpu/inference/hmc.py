@@ -152,12 +152,11 @@ def make_logprob(lml_fn, log_prior=default_log_prior):
     return jax.value_and_grad(logprob)
 
 
-def adaptive_run(state0, key, kernel, num_warmup, num_samples, eps0,
-                 target_accept, psum_axis=None):
-    """Shared 3-phase adaptive driver for vmapped-chain HMC/NUTS.
+def warmup_adapt(state0, keys3, kernel, num_warmup, eps0, target_accept,
+                 psum_axis=None):
+    """3-phase Stan-style warmup. Returns (state, eps, inv_mass).
 
-    kernel(state, keys, eps, inv_mass) -> (state, accept_probs, aux) where
-    state/aux carry a leading chain axis and accept_probs is (n_chains,).
+    keys3: tuple of three PRNG keys, one per phase.
 
     Phases (Stan-style windowing):
       I   (25% of warmup): dual-averaging eps under identity mass
@@ -194,7 +193,7 @@ def adaptive_run(state0, key, kernel, num_warmup, num_samples, eps0,
     w1 = max(num_warmup // 4, 1)
     w3 = max(num_warmup // 4, 1)
     w2 = max(num_warmup - w1 - w3, 1)
-    key, k1, k2, k3, k4 = jax.random.split(key, 5)
+    k1, k2, k3 = keys3
     ones = jnp.ones(dim)
 
     state, da, _ = warmup_phase(state0, da_init(jnp.asarray(eps0)), k1, w1,
@@ -206,6 +205,17 @@ def adaptive_run(state0, key, kernel, num_warmup, num_samples, eps0,
     state, da, _ = warmup_phase(state, da_init(eps_mid), k3, w3, inv_mass,
                                 collect=False)
     eps = jnp.exp(da.log_eps_avg)
+    return state, eps, inv_mass
+
+
+def sample_segment(state, key, kernel, eps, inv_mass, num_draws):
+    """num_draws post-warmup transitions; returns (state, qs, aprobs, aux).
+
+    The unit of the checkpoint/resume driver (sampling.py): fixed eps and
+    inv_mass, so segments compose exactly — running two segments of K is
+    the same Markov chain as one of 2K given the same key sequence.
+    """
+    n_chains = state.q.shape[0]
 
     def sample_step(state, key):
         keys = jax.random.split(key, n_chains)
@@ -213,7 +223,24 @@ def adaptive_run(state0, key, kernel, num_warmup, num_samples, eps0,
         return state, (state.q, aprobs, aux)
 
     state, (qs, aprobs, aux) = jax.lax.scan(
-        sample_step, state, jax.random.split(k4, num_samples))
+        sample_step, state, jax.random.split(key, num_draws))
+    return state, qs, aprobs, aux
+
+
+def adaptive_run(state0, key, kernel, num_warmup, num_samples, eps0,
+                 target_accept, psum_axis=None):
+    """Shared 3-phase adaptive driver for vmapped-chain HMC/NUTS.
+
+    kernel(state, keys, eps, inv_mass) -> (state, accept_probs, aux) where
+    state/aux carry a leading chain axis and accept_probs is (n_chains,).
+    warmup_adapt does the adaptation; sample_segment draws.
+    """
+    key, k1, k2, k3, k4 = jax.random.split(key, 5)
+    state, eps, inv_mass = warmup_adapt(state0, (k1, k2, k3), kernel,
+                                        num_warmup, eps0, target_accept,
+                                        psum_axis)
+    state, qs, aprobs, aux = sample_segment(state, k4, kernel, eps, inv_mass,
+                                            num_samples)
     return {
         "samples_flat": qs,  # (num_samples, n_chains, dim)
         "accept_rate": jnp.mean(aprobs),
@@ -222,6 +249,19 @@ def adaptive_run(state0, key, kernel, num_warmup, num_samples, eps0,
         "aux": aux,
         "final_state": state,
     }
+
+
+def make_hmc_kernel(logprob_and_grad, n_leapfrog=32):
+    """Vmapped-chain HMC transition kernel for adaptive_run/sample_segment."""
+
+    def kernel(state, keys, eps, inv_mass):
+        state, aprobs = jax.vmap(
+            lambda s, k: hmc_kernel(s, k, eps, inv_mass, logprob_and_grad,
+                                    n_leapfrog)
+        )(state, keys)
+        return state, aprobs, aprobs
+
+    return kernel
 
 
 @partial(jax.jit, static_argnames=("logprob_and_grad", "n_leapfrog",
@@ -239,14 +279,7 @@ def run_hmc(q0, key, logprob_and_grad, n_leapfrog=32, num_warmup=256,
     """
     logp0, grad0 = jax.vmap(lambda q: logprob_and_grad(q))(q0)
     state0 = HMCState(q0, logp0, grad0)
-
-    def kernel(state, keys, eps, inv_mass):
-        state, aprobs = jax.vmap(
-            lambda s, k: hmc_kernel(s, k, eps, inv_mass, logprob_and_grad,
-                                    n_leapfrog)
-        )(state, keys)
-        return state, aprobs, aprobs
-
+    kernel = make_hmc_kernel(logprob_and_grad, n_leapfrog)
     out = adaptive_run(state0, key, kernel, num_warmup, num_samples, eps0,
                        target_accept, psum_axis)
     out.pop("aux")

@@ -224,25 +224,36 @@ def posterior_iterative(params, X, y, Xs, kind="rbf", jitter=1e-6,
     return mu, jnp.maximum(var, 0.0)
 
 
-def _dk_tile(rows, cols, ell, sf2, kind, wrt, k_dim):
+def _dk_tile(rows, cols, ell, sf2, kind, wrt, k_dim, alpha=None):
     """One (b, n) tile of dK/d(log theta) for stationary kernels.
 
     rows/cols are UNSCALED inputs; wrt in {"log_signal_var",
-    "log_lengthscale"} (noise handled in closed form by the caller).
-    Derivative algebra matches models.exact_gp.lml_gradients_analytic.
+    "log_lengthscale", "log_alpha"} (noise handled in closed form by the
+    caller; log_alpha is the rq mixture parameter). Derivative algebra
+    matches models.exact_gp.lml_gradients_analytic.
     """
     rs = rows / ell
     cs = cols / ell
     d2 = (jnp.sum(rs**2, -1)[:, None] + jnp.sum(cs**2, -1)[None, :]
           - 2.0 * jnp.dot(rs, cs.T, precision=_HI))
     d2 = jnp.maximum(d2, 0.0)
-    kf = sf2 * kernel_ops.kernel_fn(d2, kind)
+    kf = sf2 * kernel_ops.kernel_fn(d2, kind, alpha)
     if wrt == "log_signal_var":
         return kf
+    if wrt == "log_alpha":
+        if kind != "rq":
+            raise ValueError("log_alpha gradient only exists for kind='rq'")
+        a = jnp.asarray(1.0 if alpha is None else alpha)
+        logb = jnp.log1p(d2 / (2.0 * a))
+        return kf * a * (-logb + d2 / (2.0 * a + d2))
     # d k / d d2
     r = jnp.sqrt(jnp.maximum(d2, 1e-30))
     if kind == "rbf":
         dk_dd2 = -0.5 * kf
+    elif kind == "rq":
+        a = jnp.asarray(1.0 if alpha is None else alpha)
+        dk_dd2 = -0.5 * sf2 * jnp.exp(
+            -(a + 1.0) * jnp.log1p(d2 / (2.0 * a)))
     elif kind == "matern12":
         dk_dd2 = sf2 * jnp.exp(-r) * (-0.5 / r)
     elif kind == "matern32":
@@ -263,6 +274,8 @@ def make_dk_matvec(params, X, wrt, k_dim=0, kind="rbf", block=4096):
     n, d = X.shape
     ell = jnp.exp(params["log_lengthscale"])
     sf2 = jnp.exp(params["log_signal_var"])
+    alpha = (jnp.exp(params["log_alpha"])
+             if kind == "rq" and "log_alpha" in params else None)
     nb = -(-n // block)
     npad = nb * block
     Xp = jnp.pad(X, ((0, npad - n), (0, 0)))
@@ -272,7 +285,7 @@ def make_dk_matvec(params, X, wrt, k_dim=0, kind="rbf", block=4096):
 
         def one_block(i):
             rows = jax.lax.dynamic_slice(Xp, (i * block, 0), (block, d))
-            dk = _dk_tile(rows, X, ell, sf2, kind, wrt, k_dim)
+            dk = _dk_tile(rows, X, ell, sf2, kind, wrt, k_dim, alpha)
             return jnp.dot(dk, v2, precision=_HI)
 
         out = jax.lax.map(one_block, jnp.arange(nb)).reshape(npad, -1)[:n]
@@ -324,6 +337,12 @@ def lml_value_and_grad_iterative(params, X, y, key=None, kind="rbf",
         g_ell.append(0.5 * (jnp.dot(alpha, dmv(alpha))
                             - jnp.mean(jnp.sum(w * dmv(z), axis=0))))
     grads["log_lengthscale"] = jnp.stack(g_ell)
+    # rq mixture parameter
+    if kind == "rq" and "log_alpha" in params:
+        dmv = make_dk_matvec(params, X, "log_alpha", kind=kind, block=block)
+        grads["log_alpha"] = 0.5 * (
+            jnp.dot(alpha, dmv(alpha))
+            - jnp.mean(jnp.sum(w * dmv(z), axis=0)))
 
     value = -0.5 * jnp.dot(y, alpha)  # quad term only (no logdet)
     return value, grads

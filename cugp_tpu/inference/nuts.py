@@ -282,13 +282,8 @@ def nuts_kernel(state, key, eps, inv_mass, logprob_and_grad, max_depth=8):
     return new_state, info
 
 
-@partial(jax.jit, static_argnames=("logprob_and_grad", "max_depth",
-                                   "num_warmup", "num_samples", "psum_axis"))
-def run_nuts(q0, key, logprob_and_grad, max_depth=8, num_warmup=256,
-             num_samples=512, eps0=0.1, target_accept=0.8, psum_axis=None):
-    """Vmapped-chain NUTS with the shared 3-phase adaptive driver."""
-    logp0, grad0 = jax.vmap(lambda q: logprob_and_grad(q))(q0)
-    state0 = hmc_lib.HMCState(q0, logp0, grad0)
+def make_nuts_kernel(logprob_and_grad, max_depth=8):
+    """Vmapped-chain NUTS transition kernel for adaptive_run/sample_segment."""
 
     def kernel(state, keys, eps, inv_mass):
         state, info = jax.vmap(
@@ -297,6 +292,17 @@ def run_nuts(q0, key, logprob_and_grad, max_depth=8, num_warmup=256,
         )(state, keys)
         return state, info.accept_prob, (info.diverging, info.n_leapfrog)
 
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("logprob_and_grad", "max_depth",
+                                   "num_warmup", "num_samples", "psum_axis"))
+def run_nuts(q0, key, logprob_and_grad, max_depth=8, num_warmup=256,
+             num_samples=512, eps0=0.1, target_accept=0.8, psum_axis=None):
+    """Vmapped-chain NUTS with the shared 3-phase adaptive driver."""
+    logp0, grad0 = jax.vmap(lambda q: logprob_and_grad(q))(q0)
+    state0 = hmc_lib.HMCState(q0, logp0, grad0)
+    kernel = make_nuts_kernel(logprob_and_grad, max_depth)
     out = hmc_lib.adaptive_run(state0, key, kernel, num_warmup, num_samples,
                                eps0, target_accept, psum_axis)
     divs, nlf = out.pop("aux")

@@ -103,6 +103,131 @@ def sample_hyperparams(init_params, X, y, *, kind="rbf", jitter=1e-6,
     return out
 
 
+def sample_hyperparams_checkpointed(
+        init_params, X, y, *, checkpoint_dir, checkpoint_every=64,
+        kind="rbf", jitter=1e-6, method="auto", num_samples=512,
+        num_chains=8, num_warmup=256, sampler="hmc", key=None,
+        n_leapfrog=32, max_tree_depth=8, eps0=0.1, target_accept=0.8,
+        log_prior=hmc_lib.default_log_prior):
+    """NUTS/HMC with chain-state checkpoint/resume (SURVEY.md section 5).
+
+    Post-warmup draws run in jitted segments of `checkpoint_every`; after
+    each segment the full sampler state — positions q, step size eps,
+    diagonal inverse mass, RNG key counter, draw counter, and the samples
+    so far — is persisted atomically via utils.checkpoint. A re-invocation
+    with the same checkpoint_dir resumes exactly: segments compose (fixed
+    eps/inv_mass after warmup, keys derived by fold_in(draw_counter)), so
+    a killed run continues to the same total sample count and values it
+    would have produced uninterrupted. Asking for a larger num_samples on
+    a finished checkpoint extends the chain.
+
+    Returns the sample_hyperparams dict plus "resumed" and "draws_done".
+    """
+    import numpy as np
+
+    from cugp_tpu.utils import checkpoint
+
+    if key is None:
+        key = jax.random.key(0)
+    key_init, key_warm = jax.random.split(key)
+    logprob_and_grad, unravel, q0 = make_flat_logprob(
+        init_params, X, y, kind=kind, jitter=jitter, method=method,
+        log_prior=log_prior)
+    if sampler == "hmc":
+        kernel = hmc_lib.make_hmc_kernel(logprob_and_grad, n_leapfrog)
+    elif sampler == "nuts":
+        kernel = nuts_lib.make_nuts_kernel(logprob_and_grad, max_tree_depth)
+    else:
+        raise ValueError(f"unknown sampler: {sampler}")
+
+    dim = q0.shape[0]
+    probe = {
+        "q": np.zeros((num_chains, dim), np.float32),
+        "eps": np.zeros(()), "inv_mass": np.zeros(dim),
+        "key_data": np.zeros_like(np.asarray(jax.random.key_data(key))),
+        "samples": np.zeros(0),  # stored flat; reshaped via draws_done
+        "accept_sum": np.zeros(()),
+    }
+    tree, meta = checkpoint.restore(checkpoint_dir, probe)
+    resumed = tree is not None
+
+    # one jit wrapper reused across segments: one compile per distinct
+    # num_draws (static), cache hits for every same-length segment
+    seg_jit = jax.jit(hmc_lib.sample_segment,
+                      static_argnames=("kernel", "num_draws"))
+
+    def segment_fn(state, seg_key, eps, inv_mass, num_draws):
+        return seg_jit(state, seg_key, kernel, eps, inv_mass, num_draws)
+
+    if resumed:
+        draws_done = int(meta["step"])
+        q = jnp.asarray(tree["q"], jnp.float32)
+        eps = jnp.asarray(tree["eps"], jnp.float32)
+        inv_mass = jnp.asarray(tree["inv_mass"], jnp.float32)
+        base_key = jax.random.wrap_key_data(
+            jnp.asarray(tree["key_data"]))
+        samples_list = [np.asarray(tree["samples"], np.float32).reshape(
+            draws_done, num_chains, dim)] if draws_done else []
+        accept_sum = float(tree["accept_sum"])
+        logp, grad = jax.vmap(logprob_and_grad)(q)
+        state = hmc_lib.HMCState(q, logp, grad)
+    else:
+        draws_done = 0
+        qs0 = init_chains(q0, key_init, num_chains)
+        logp0, grad0 = jax.vmap(logprob_and_grad)(qs0)
+        state0 = hmc_lib.HMCState(qs0, logp0, grad0)
+        kw = jax.random.split(key_warm, 4)
+        warm = jax.jit(hmc_lib.warmup_adapt,
+                       static_argnames=("kernel", "num_warmup",
+                                        "target_accept"))
+        state, eps, inv_mass = warm(state0, (kw[0], kw[1], kw[2]), kernel,
+                                    num_warmup, eps0, target_accept)
+        base_key = kw[3]
+        samples_list = []
+        accept_sum = 0.0
+
+    def save(state):
+        flat = (np.concatenate([s.reshape(-1) for s in samples_list])
+                if samples_list else np.zeros(0, np.float32))
+        checkpoint.save(checkpoint_dir, {
+            "q": np.asarray(state.q, np.float32),
+            "eps": np.asarray(eps), "inv_mass": np.asarray(inv_mass),
+            "key_data": np.asarray(jax.random.key_data(base_key)),
+            "samples": flat,
+            "accept_sum": np.asarray(accept_sum),
+        }, step=draws_done, extra_json={
+            "sampler": sampler, "kind": kind, "num_chains": num_chains,
+            "num_warmup": num_warmup})
+
+    if not resumed:
+        save(state)  # warmup survives a kill before the first segment
+
+    while draws_done < num_samples:
+        seg = min(checkpoint_every, num_samples - draws_done)
+        seg_key = jax.random.fold_in(base_key, draws_done)
+        state, qs, aprobs, _aux = segment_fn(state, seg_key, eps, inv_mass,
+                                             seg)
+        samples_list.append(np.asarray(qs, np.float32))
+        accept_sum += float(jnp.sum(aprobs))
+        draws_done += seg
+        save(state)
+
+    flat = (np.concatenate(samples_list, axis=0) if samples_list
+            else np.zeros((0, num_chains, dim), np.float32))
+    flat = jnp.asarray(flat[:num_samples])
+    samples = jax.vmap(jax.vmap(unravel))(flat)
+    denom = max(draws_done * num_chains, 1)
+    return {
+        "samples": samples,
+        "samples_flat": flat,
+        "accept_rate": jnp.asarray(accept_sum / denom),
+        "eps": eps,
+        "inv_mass": inv_mass,
+        "resumed": resumed,
+        "draws_done": draws_done,
+    }
+
+
 def potential_scale_reduction(x):
     """Split-R-hat over (num_samples, n_chains) scalar draws."""
     x = jnp.asarray(x)

@@ -142,15 +142,26 @@ def lml_gradients_analytic(params, X, y, kind="rbf", jitter=1e-6, method="auto")
     sf2 = jnp.exp(params["log_signal_var"])
     sn2 = jnp.exp(params["log_noise_var"])
 
+    alpha = (jnp.exp(params["log_alpha"])
+             if kind == "rq" and "log_alpha" in params else None)
     d2 = kernel_ops.scaled_sqdist(X, X, ell)
-    Kf = sf2 * kernel_ops.kernel_fn(d2, kind)
+    Kf = sf2 * kernel_ops.kernel_fn(d2, kind, alpha)
 
     g_lsf = 0.5 * (jnp.sum(W * Kf) + jitter * sf2 * jnp.trace(W))
     g_lsn = 0.5 * sn2 * jnp.trace(W)
 
     r = jnp.sqrt(jnp.maximum(d2, 1e-30))
+    g_lal = None
     if kind == "rbf":
         dk_dd2 = -0.5 * Kf
+    elif kind == "rq":
+        a = jnp.asarray(1.0 if alpha is None else alpha)
+        logb = jnp.log1p(d2 / (2.0 * a))
+        # k = sf2 (1 + d2/2a)^{-a}: dk/dd2 = -1/2 sf2 (1+d2/2a)^{-a-1};
+        # dk/dlog a = k * a * (-log(1+d2/2a) + d2/(2a + d2))
+        dk_dd2 = -0.5 * sf2 * jnp.exp(-(a + 1.0) * logb)
+        dK_dla = Kf * a * (-logb + d2 / (2.0 * a + d2))
+        g_lal = 0.5 * jnp.sum(W * dK_dla)
     elif kind == "matern12":
         dk_dd2 = sf2 * jnp.exp(-r) * (-0.5 / r)
     elif kind == "matern32":
@@ -169,8 +180,11 @@ def lml_gradients_analytic(params, X, y, kind="rbf", jitter=1e-6, method="auto")
         return 0.5 * jnp.sum(W * dK)
 
     g_ell = jax.vmap(per_dim, in_axes=(1, 0))(X, ell)
-    return {
+    out = {
         "log_lengthscale": g_ell,
         "log_signal_var": g_lsf,
         "log_noise_var": g_lsn,
     }
+    if g_lal is not None:
+        out["log_alpha"] = g_lal
+    return out

@@ -125,8 +125,10 @@ def lml_gradients(params, X, y, kind="rbf", jitter=1e-6):
     Kinv = sla.cho_solve((L, True), np.eye(n))
     W = np.outer(alpha, alpha) - Kinv  # (alpha alpha^T - K^{-1})
 
+    alpha = (np.exp(p["log_alpha"]) if kind == "rq" and "log_alpha" in p
+             else None)
     d2 = scaled_sqdist(X, X, ell)
-    Kf = sf2 * kernel_fn(d2, kind)  # noise-free covariance
+    Kf = sf2 * kernel_fn(d2, kind, alpha)  # noise-free covariance
 
     # d K / d log_signal_var = Kf  (+ jitter term on diag)
     dK_dlsf = Kf + jitter * sf2 * np.eye(n)
@@ -138,8 +140,15 @@ def lml_gradients(params, X, y, kind="rbf", jitter=1e-6):
     # d K / d log_ell_k: dK/d d2 * d d2/d log_ell_k, with
     # d d2 / d log_ell_k = -2 * (x_k - x'_k)^2 / ell_k^2
     r = np.sqrt(np.maximum(d2, 1e-300))
+    g_lal = None
     if kind == "rbf":
         dk_dd2 = -0.5 * Kf
+    elif kind == "rq":
+        a = 1.0 if alpha is None else float(alpha)
+        logb = np.log1p(d2 / (2.0 * a))
+        dk_dd2 = -0.5 * sf2 * np.exp(-(a + 1.0) * logb)
+        dK_dla = Kf * a * (-logb + d2 / (2.0 * a + d2))
+        g_lal = 0.5 * np.sum(W * dK_dla)
     elif kind == "matern12":
         dk_dd2 = sf2 * np.exp(-r) * (-0.5 / r)
     elif kind == "matern32":
@@ -158,8 +167,11 @@ def lml_gradients(params, X, y, kind="rbf", jitter=1e-6):
         np.fill_diagonal(dK, 0.0)  # r=0 diagonal: derivative is 0
         g_ell[k] = 0.5 * np.sum(W * dK)
 
-    return {
+    out = {
         "log_lengthscale": g_ell,
         "log_signal_var": np.asarray(g_lsf),
         "log_noise_var": np.asarray(g_lsn),
     }
+    if g_lal is not None:
+        out["log_alpha"] = np.asarray(g_lal)
+    return out

@@ -20,7 +20,7 @@ from jax import shard_map
 from cugp_tpu.ops.kernels import kernel_fn
 
 
-def _ring_body(x_loc, *, kind, axis, sf2_c, diag_add_c):
+def _ring_body(x_loc, *, kind, axis, sf2_c, diag_add_c, alpha_c):
     """shard_map body: build my (n_loc, N) row-block of K."""
     me = jax.lax.axis_index(axis)
     R = jax.lax.axis_size(axis)
@@ -40,7 +40,7 @@ def _ring_body(x_loc, *, kind, axis, sf2_c, diag_add_c):
                         preferred_element_type=jnp.float32,
                         precision=jax.lax.Precision.HIGHEST)
         d2 = jnp.maximum(s1 + s2 - 2.0 * cross, 0.0)
-        blk = sf2_c * kernel_fn(d2, kind)
+        blk = sf2_c * kernel_fn(d2, kind, alpha_c)
         col_off = src * n_loc
         cols_idx = col_off + jnp.arange(n_loc)[None, :]
         blk = blk + jnp.where(rows_idx == cols_idx, diag_add_c, 0.0)
@@ -52,7 +52,8 @@ def _ring_body(x_loc, *, kind, axis, sf2_c, diag_add_c):
     # mark the carry as device-varying over the ring axis up front: the
     # first ppermute/axis_index use makes the outputs varying, and scan
     # carries must have matching varying-axis types on both sides
-    k_loc = jax.lax.pcast(k_loc, (axis,), to="varying")
+    axes = axis if isinstance(axis, tuple) else (axis,)
+    k_loc = jax.lax.pcast(k_loc, axes, to="varying")
     k_loc, _ = jax.lax.fori_loop(0, R, step, (k_loc, x_loc))
     return k_loc
 
@@ -61,24 +62,23 @@ def ring_train_covariance(params, X, mesh, kind="rbf", jitter=1e-6,
                           axis="r"):
     """K(X,X) + noise diag, built by ring rotation; K returned row-sharded.
 
-    X: (n, d) with n divisible by the size of mesh axis `axis`.
+    X: (n, d) with n divisible by the size of mesh axis `axis` (a name or
+    a tuple of names — e.g. ("r", "c") rings over all chips row-major).
     """
-    if kind == "rq":
-        raise NotImplementedError(
-            "ring covariance supports the fixed-parameter kernels; use the "
-            "GSPMD covariance path for rq")
     ell = jnp.exp(params["log_lengthscale"]).astype(jnp.float32)
     sf2 = jnp.exp(params["log_signal_var"]).astype(jnp.float32)
     sn2 = jnp.exp(params["log_noise_var"]).astype(jnp.float32)
+    alpha = (jnp.exp(params["log_alpha"]).astype(jnp.float32)
+             if kind == "rq" and "log_alpha" in params else jnp.float32(1.0))
     xs = (X / ell).astype(jnp.float32)
 
     # scalars enter the body as 0-d residuals via closure-free operands:
     # shard_map requires explicit specs, so fold them into a tiny array
     def body(x_loc, scal):
         return _ring_body(x_loc, kind=kind, axis=axis,
-                          sf2_c=scal[0], diag_add_c=scal[1])
+                          sf2_c=scal[0], diag_add_c=scal[1], alpha_c=scal[2])
 
-    scal = jnp.stack([sf2, sn2 + jitter * sf2])
+    scal = jnp.stack([sf2, sn2 + jitter * sf2, alpha])
     fn = shard_map(
         body, mesh=mesh,
         in_specs=(P(axis, None), P()),

@@ -47,6 +47,8 @@ class SampleConfig:
     num_chains: int = 8
     max_tree_depth: int = 8
     seed: int = 0
+    checkpoint_every: int = 64   # draws per checkpoint segment (with
+                                 # --checkpoint_dir on the sample command)
 
 
 @dataclasses.dataclass

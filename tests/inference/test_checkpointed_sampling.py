@@ -1,0 +1,81 @@
+"""Sampler chain-state checkpoint/resume (SURVEY.md section 5 row
+"checkpoint/resume"; VERDICT round 1, next-round #7).
+
+Segments compose exactly (fixed post-warmup eps/inv_mass, keys derived
+from the draw counter), so an interrupted run resumed from its checkpoint
+must produce the SAME draws as an uninterrupted one.
+"""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from cugp_tpu.data import synthetic
+from cugp_tpu.inference import sampling
+from cugp_tpu.ops import kernels as kops
+
+
+@pytest.fixture(scope="module")
+def data():
+    X, y, _ = synthetic.sinusoid_1d(n=64, noise_std=0.1, seed=0)
+    import jax.numpy as jnp
+
+    return (jnp.asarray(X, jnp.float32), jnp.asarray(y, jnp.float32),
+            kops.init_params(d=1, lengthscale=0.8, noise_var=0.05))
+
+
+def _run(data, ckpt_dir, num_samples, **kw):
+    X, y, init = data
+    return sampling.sample_hyperparams_checkpointed(
+        init, X, y, checkpoint_dir=ckpt_dir, checkpoint_every=8,
+        num_samples=num_samples, num_chains=4, num_warmup=16,
+        sampler="hmc", n_leapfrog=8, key=jax.random.key(3), **kw)
+
+
+def test_resume_reproduces_uninterrupted_run(data, tmp_path):
+    # uninterrupted 24 draws
+    full = _run(data, os.path.join(tmp_path, "full"), 24)
+    assert not full["resumed"] and full["draws_done"] == 24
+
+    # "killed" after 8 draws, then resumed to 24
+    part_dir = os.path.join(tmp_path, "part")
+    part = _run(data, part_dir, 8)
+    assert part["draws_done"] == 8
+    resumed = _run(data, part_dir, 24)
+    assert resumed["resumed"] and resumed["draws_done"] == 24
+
+    np.testing.assert_allclose(np.asarray(resumed["samples_flat"]),
+                               np.asarray(full["samples_flat"]),
+                               rtol=1e-5, atol=1e-6)
+    assert abs(float(resumed["accept_rate"]) - float(full["accept_rate"])) \
+        < 1e-4
+
+
+def test_checkpoint_persists_chain_state(data, tmp_path):
+    from cugp_tpu.utils import checkpoint
+
+    d = os.path.join(tmp_path, "state")
+    _run(data, d, 8)
+    meta = checkpoint.peek_meta(d)
+    assert meta["step"] == 8
+    assert meta["extra"]["sampler"] == "hmc"
+
+
+def test_cli_sample_checkpoint_resume(tmp_path, capsys):
+    from cugp_tpu.cli.__main__ import main
+
+    ckpt = os.path.join(tmp_path, "cli_sample_ckpt")
+    args = ["sample", "--data.n=64", "--sample.num_chains=2",
+            "--sample.num_warmup=8", "--sample.sampler=hmc",
+            "--sample.checkpoint_every=4", f"--checkpoint_dir={ckpt}"]
+    rc = main(args + ["--sample.num_samples=8"])
+    assert rc == 0
+    out1 = capsys.readouterr().out
+    assert '"resumed": false' in out1
+    rc = main(args + ["--sample.num_samples=16"])
+    assert rc == 0
+    out2 = capsys.readouterr().out
+    assert '"resumed": true' in out2
+    assert '"draws_done": 16' in out2

@@ -109,3 +109,21 @@ def test_matrix_free_gradients_match_dense(setup):
         # Hutchinson MC error on the trace term: a few percent of scale
         np.testing.assert_allclose(est, ref, rtol=0.15,
                                    atol=0.15 * max(1.0, np.abs(ref).max()))
+
+
+def test_matrix_free_gradients_match_dense_rq(setup):
+    """rq (incl. d/dlog_alpha) through the matrix-free gradient path —
+    part of the rq completeness sweep (VERDICT round 1, missing #6)."""
+    params, X, y = setup
+    params = dict(params, log_alpha=jnp.asarray(np.log(1.5), jnp.float32))
+    _, g_ref = exact_gp.lml_value_and_grad(params, X, y, kind="rq",
+                                           method="xla")
+    _, g = iterative.lml_value_and_grad_iterative(
+        params, X, y, key=jax.random.key(7), kind="rq", block=128, tol=1e-6,
+        max_iters=1000, num_probes=64)
+    assert set(g) == set(g_ref)
+    for k in g_ref:
+        ref = np.asarray(g_ref[k])
+        est = np.asarray(g[k])
+        np.testing.assert_allclose(est, ref, rtol=0.15,
+                                   atol=0.15 * max(1.0, np.abs(ref).max()))
