@@ -197,7 +197,11 @@ def main(argv=None):
         elif arg.startswith("--profile="):
             profile_dir = arg.split("=", 1)[1]
             argv.remove(arg)
-    cfg, rest = config_lib.parse_overrides(argv)
+    try:
+        cfg, rest = config_lib.parse_overrides(argv)
+    except (KeyError, ValueError) as e:
+        print(f"bad flag: {e}\n{__doc__}", file=sys.stderr)
+        return 2
     if rest:
         print(f"unrecognized args: {rest}", file=sys.stderr)
         return 2

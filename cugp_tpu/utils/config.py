@@ -74,9 +74,11 @@ def _set_dotted(cfg, path, value):
     parts = path.split(".")
     obj = cfg
     for p in parts[:-1]:
+        if not dataclasses.is_dataclass(obj) or not hasattr(obj, p):
+            raise KeyError(f"unknown config field: {path}")
         obj = getattr(obj, p)
     field = parts[-1]
-    if not hasattr(obj, field):
+    if not dataclasses.is_dataclass(obj) or not hasattr(obj, field):
         raise KeyError(f"unknown config field: {path}")
     cur = getattr(obj, field)
     if cur is None:
