@@ -78,40 +78,84 @@ def _trtri_tile(l):
     return jnp.where(rows >= cols, x, 0.0)
 
 
-def _potrf_kernel(a_ref, out_ref, *, nb):
-    """Blocked potrf of a (nb*T, nb*T) block held in VMEM."""
-    b = nb * _T
-    out_ref[:] = a_ref[:]
-    rows_b = jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0)
+_MP = 8  # micro-panel width (one fp32 sublane tile)
 
-    for p in range(nb):  # static unroll; nb <= 8
-        lo, hi = p * _T, (p + 1) * _T
-        diag = out_ref[lo:hi, lo:hi]
-        ld = _potrf_tile(diag)
-        linv = _trtri_tile(ld)
-        strip = out_ref[:, lo:hi]  # (b, T)
-        x = jax.lax.dot_general(
-            strip, linv, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # strip @ linv^T
-        below = rows_b >= hi
-        x = jnp.where(below, x, 0.0)
-        # assemble the strip: zeros above, ld on the diagonal tile, x below
-        ld_emb = jnp.pad(ld, ((lo, b - hi), (0, 0)))
-        out_ref[:, lo:hi] = ld_emb + x
-        # trailing update: nonzero only for rows/cols >= hi, so the full
-        # rank-T MXU update is safe against already-written panels
-        upd = jax.lax.dot_general(
-            x, x, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        out_ref[:] = out_ref[:] - upd
+
+def _dotf(a, b_, dims):
+    return jax.lax.dot_general(
+        a, b_, dimension_numbers=(dims, ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+
+
+def _potrf_kernel(a_ref, out_ref, pv_ref, lj_ref, *, nb):
+    """Blocked potrf of a (nb*T, nb*T) block held in VMEM.
+
+    Round-2 design (VERDICT round 1, next-round #3 — the round-1 version
+    ran two 128-iteration fori_loops per panel of full-tile masked VPU ops
+    plus an explicit triangular inverse, 0.62 ms at 1024 vs XLA's 0.13):
+    every index is STATIC (python-unrolled), the factorization works on
+    8-wide micro-panels of the full (b, 128) panel strip — each column
+    step touches only a (b, 8) slice and a (b, 1) column — there is no
+    trtri and no separate strip TRSM (sub-diagonal rows factor in the same
+    column steps), and trailing updates are rank-8 MXU dots per micro-panel
+    plus one rank-128 MXU dot per panel over the remaining columns only.
+    """
+    b = nb * _T
+    # Computed in UPPER-factor form (A = U^T U, panels are ROW strips of
+    # U) so every dynamic start lands on the SUBLANE dim: Mosaic (jax 0.9)
+    # SIGABRTs on dynamic lane-dim ref slices but handles sublane fine.
+    # One (b, b) transpose at the end returns the lower factor L = U^T.
+    out_ref[:] = a_ref[:]
+    cols_1b = jax.lax.broadcasted_iota(jnp.int32, (1, b), 1)
+    rows_t1 = jax.lax.broadcasted_iota(jnp.int32, (_T, 1), 0)
+    rows_mp = jax.lax.broadcasted_iota(jnp.int32, (_MP, 1), 0)
+
+    for p in range(nb):  # static; nb <= 8
+        plo, phi = p * _T, (p + 1) * _T
+        pv_ref[:] = out_ref[plo:phi, :]  # (T, b) panel row-strip scratch
+
+        def micro(m, carry, plo=plo):
+            # factor the 8-row micro-panel at panel rows [8m, 8m+8):
+            # 8 unrolled row steps on the (8, b) strip, then ONE rank-8
+            # MXU update of the remaining panel rows. m is traced (the 16
+            # micro-panels run under fori_loop — a fully static unroll
+            # compiles for minutes); dynamic starts go through sublane
+            # ref indexing (pl.ds).
+            mlo = m * _MP
+            s = pv_ref[pl.ds(mlo, _MP), :]  # (8, b)
+            for u in range(_MP):
+                j = plo + mlo + u  # global column of this row's diagonal
+                cu = s[u:u + 1, :]                       # (1, b)
+                d = jnp.sum(jnp.where(cols_1b == j, cu, 0.0))
+                inv = jax.lax.rsqrt(d)
+                uj = jnp.where(cols_1b >= j, cu * inv, 0.0)  # row j of U
+                lj_ref[:] = uj.T
+                uj8 = lj_ref[pl.ds(plo + mlo, _MP), :]    # (8, 1)
+                outer = uj8 * uj                          # (8, b) rank-1
+                s = jnp.where(rows_mp > u, s - outer,
+                              jnp.where(rows_mp == u, uj, s))
+            # rank-8 update of ALL panel rows (masked to rows >= mhi):
+            # upd[k, :] = sum_j s[j, plo+k] * s[j, :]
+            s_cols = s[:, plo:phi]  # (8, T) — static cols (p is static)
+            upd = _dotf(s_cols, s, ((0,), (0,)))  # (T, b) MXU, K=8
+            pv_ref[:] = pv_ref[:] - jnp.where(rows_t1 >= mlo + _MP, upd, 0.0)
+            pv_ref[pl.ds(mlo, _MP), :] = s
+            return carry
+
+        jax.lax.fori_loop(0, _T // _MP, micro, 0)
+        pv = pv_ref[:]
+        out_ref[plo:phi, :] = pv
+        # panel trailing update on the remaining rows only (MXU):
+        # A[k, i] -= sum_j U[j, k] U[j, i]  for k >= phi
+        if phi < b:
+            pv_cols = pv[:, phi:]  # (T, b - phi) cols of trailing rows
+            out_ref[phi:, :] = out_ref[phi:, :] - _dotf(
+                pv_cols, pv, ((0,), (0,)))
 
     rows = jax.lax.broadcasted_iota(jnp.int32, (b, b), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (b, b), 1)
-    out_ref[:] = jnp.where(rows >= cols, out_ref[:], 0.0)
+    out_ref[:] = jnp.where(rows >= cols, out_ref[:].T, 0.0)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -124,6 +168,10 @@ def _potrf_call(a, interpret):
         out_shape=jax.ShapeDtypeStruct(a.shape, jnp.float32),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((_T, n), jnp.float32),   # panel row strip
+            pltpu.VMEM((n, 1), jnp.float32),    # column for dyn row reads
+        ],
         cost_estimate=pl.CostEstimate(
             flops=n * n * n, bytes_accessed=8 * n * n, transcendentals=n,
         ),
