@@ -52,9 +52,31 @@ def worker():
         lambda p, X, y: gspmd.lml_sharded(p, X, y, mesh))(params, X, y)
     v = float(val)
     assert v == v, "nan lml"
+
+    # the genuinely-sharded factorization (chunked sweep) over DCN+ICI
+    from cugp_tpu.parallel import distributed_chol
+
+    v2 = float(jax.jit(lambda p, X, y: distributed_chol.distributed_lml(
+        p, X, y, mesh, chunk=64))(params, X, y))
+    assert abs(v2 - v) / n < 1e-3, (v, v2)
+
+    # ring covariance over the combined ('r','c') ring -> explicit
+    # all_to_all relayout -> 2D layout, across process boundaries
+    from cugp_tpu.parallel import ring, relayout
+
+    X_rc = jax.make_array_from_callback(
+        (n, 1), NamedSharding(mesh, P(("r", "c"), None)),
+        lambda idx: np.asarray(X_np, np.float32)[idx])
+    K_rows = ring.ring_train_covariance(params, X_rc, mesh, kind="rbf",
+                                        jitter=1e-6, axis=("r", "c"))
+    K2d = relayout.row_to_2d(K_rows, mesh)
+    kdiag = float(jnp.min(jnp.diagonal(K2d)))
+    assert kdiag > 0.0, kdiag
+
     if info.process_index == 0:
         print(f"MULTIHOST_OK procs={info.process_count} "
-              f"devices={info.global_devices} lml={v:.3f}")
+              f"devices={info.global_devices} lml={v:.3f} "
+              f"dist_lml={v2:.3f} relayout_ok=True")
 
 
 def launcher(procs=2):
@@ -69,6 +91,12 @@ def launcher(procs=2):
             "COORD": f"127.0.0.1:{port}",
             "NPROCS": str(procs),
             "PID_IDX": str(i),
+            # 4 virtual CPU devices per process -> a real 2D ('r','c')
+            # grid spanning processes, so the relayout all_to_all and the
+            # block-cyclic collectives genuinely cross the DCN boundary
+            "XLA_FLAGS": (env_base.get("XLA_FLAGS", "")
+                          + " --xla_force_host_platform_device_count=4"
+                          ).strip(),
         })
         procs_list.append(subprocess.Popen(
             [sys.executable, os.path.abspath(__file__)], env=env,
