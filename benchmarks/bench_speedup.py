@@ -46,6 +46,15 @@ def main(argv=None):
                                             jitter=1e-6)
     t_serial = time.perf_counter() - t0
 
+    # threaded C++ LML (OpenMP, native/gp_parallel.cpp)
+    t_par, lml_par, n_threads = None, None, 0
+    if native.parallel_available():
+        n_threads = native.num_threads()
+        t0 = time.perf_counter()
+        lml_par = native.log_marginal_likelihood_parallel(
+            params64, X, y, kind="rbf", jitter=1e-6)
+        t_par = time.perf_counter() - t0
+
     # device LML (same pipeline, jitted)
     Xj = jnp.asarray(X, jnp.float32)
     yj = jnp.asarray(y, jnp.float32)
@@ -55,7 +64,7 @@ def main(argv=None):
     t_dev = profiling.timed(fn, p32, iters=3)
     lml_dev = float(fn(p32))
 
-    print(json.dumps({
+    out = {
         "n": n, "d": d,
         "backend": jax.default_backend(),
         "serial_cpp_s": round(t_serial, 3),
@@ -64,7 +73,15 @@ def main(argv=None):
         "lml_serial": round(float(lml_cc), 3),
         "lml_device": round(lml_dev, 3),
         "lml_agreement_per_point": abs(float(lml_cc) - lml_dev) / n,
-    }))
+    }
+    if t_par is not None:
+        out.update({
+            "parallel_cpp_s": round(t_par, 3),
+            "omp_threads": n_threads,
+            "speedup_vs_parallel_cpp": round(t_par / t_dev, 1),
+            "lml_parallel_cpp": round(float(lml_par), 3),
+        })
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

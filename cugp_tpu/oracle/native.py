@@ -110,6 +110,65 @@ def log_marginal_likelihood(params, X, y, kind="rbf", jitter=1e-6):
     return float(val)
 
 
+# ---- OpenMP-threaded baseline (native/gp_parallel.cpp) — the parallel-CPU
+# tier of the speedup ladder; same pipeline, gpp_* C ABI.
+
+_PAR_LIB_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "libgppar.so"))
+_par_lib = None
+
+
+def _load_parallel():
+    global _par_lib
+    if _par_lib is not None:
+        return _par_lib
+    if not os.path.exists(_PAR_LIB_PATH):
+        _build()
+    lib = ctypes.CDLL(_PAR_LIB_PATH)
+    dptr = ctypes.POINTER(ctypes.c_double)
+    i64 = ctypes.c_int64
+    i32 = ctypes.c_int32
+    dbl = ctypes.c_double
+    lib.gpp_num_threads.restype = i32
+    lib.gpp_covariance.argtypes = [dptr, i64, i64, dptr, dbl, dbl, dbl, i32,
+                                   dptr]
+    lib.gpp_cholesky.argtypes = [dptr, i64]
+    lib.gpp_cholesky.restype = i64
+    lib.gpp_lml.argtypes = [dptr, dptr, i64, i64, dptr, dbl, dbl, dbl, i32,
+                            dptr, dptr, ctypes.POINTER(i64)]
+    lib.gpp_lml.restype = dbl
+    _par_lib = lib
+    return lib
+
+
+def parallel_available():
+    try:
+        _load_parallel()
+        return True
+    except Exception:
+        return False
+
+
+def num_threads():
+    return int(_load_parallel().gpp_num_threads())
+
+
+def log_marginal_likelihood_parallel(params, X, y, kind="rbf", jitter=1e-6):
+    """Threaded-CPU LML (OpenMP over covariance rows + Cholesky panels)."""
+    lib = _load_parallel()
+    X = np.ascontiguousarray(X, np.float64)
+    y = np.ascontiguousarray(y, np.float64)
+    n, d = X.shape
+    ell, sf2, sn2 = _prep(params)
+    alpha = np.empty(n, np.float64)
+    status = ctypes.c_int64(0)
+    val = lib.gpp_lml(_ptr(X), _ptr(y), n, d, _ptr(ell), sf2, sn2, jitter,
+                      KIND_IDS[kind], _ptr(alpha), None,
+                      ctypes.byref(status))
+    if status.value != 0:
+        raise np.linalg.LinAlgError(f"not PD at column {status.value - 1}")
+    return float(val)
+
+
 def posterior(params, X, y, Xs, kind="rbf", jitter=1e-6):
     lib = _load()
     X = np.ascontiguousarray(X, np.float64)

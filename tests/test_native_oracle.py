@@ -57,6 +57,18 @@ def test_lml_matches(data, kind):
     assert abs(val - ref) < 1e-8
 
 
+@pytest.mark.parametrize("kind", ["rbf", "matern52"])
+def test_parallel_lml_matches(data, kind):
+    """OpenMP-threaded baseline (gp_parallel.cpp) == float64 oracle."""
+    if not native.parallel_available():
+        pytest.skip("no native toolchain for the OpenMP baseline")
+    X, y, params = data
+    ref = oracle.log_marginal_likelihood(params, X, y, kind)
+    val = native.log_marginal_likelihood_parallel(params, X, y, kind)
+    assert abs(val - ref) < 1e-8
+    assert native.num_threads() >= 1
+
+
 def test_posterior_matches(data):
     X, y, params = data
     Xs = np.linspace(-2, 2, 33).reshape(-1, 1).repeat(2, axis=1)
