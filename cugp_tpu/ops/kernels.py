@@ -110,16 +110,68 @@ def train_covariance_xla(params, X, kind="rbf", jitter=1e-6, n_true=None):
     return K
 
 
+# Pallas kernels have no JVP rule (pl.program_id fails under jax.vjp's
+# forward trace), so differentiating the LML through the fused tile
+# builder crashes. The builders are therefore wrapped in custom_vjp: the
+# PRIMAL runs the Pallas kernel; the BACKWARD differentiates the
+# mathematically identical XLA builder (one extra O(N^2 d) covariance
+# evaluation inside the backward pass — exactly what AD would compute).
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _cross_cov_pallas_ad(params, X1, X2, kind, n_true):
+    from cugp_tpu.ops import cov_pallas
+
+    return cov_pallas.cross_covariance_pallas(
+        params, X1, X2, kind,
+        n1_true=n_true if n_true is not None else X1.shape[0])
+
+
+def _cross_cov_fwd(params, X1, X2, kind, n_true):
+    return _cross_cov_pallas_ad(params, X1, X2, kind, n_true), (params, X1, X2)
+
+
+def _cross_cov_bwd(kind, n_true, res, g):
+    params, X1, X2 = res
+    _, vjp = jax.vjp(
+        lambda p, a, b: cross_covariance_xla(p, a, b, kind, n_true=n_true),
+        params, X1, X2)
+    return vjp(g)
+
+
+_cross_cov_pallas_ad.defvjp(_cross_cov_fwd, _cross_cov_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _train_cov_pallas_ad(params, X, kind, jitter, n_true):
+    from cugp_tpu.ops import cov_pallas
+
+    return cov_pallas.train_covariance_pallas(
+        params, X, kind, jitter,
+        n_true=n_true if n_true is not None else X.shape[0])
+
+
+def _train_cov_fwd(params, X, kind, jitter, n_true):
+    return _train_cov_pallas_ad(params, X, kind, jitter, n_true), (params, X)
+
+
+def _train_cov_bwd(kind, jitter, n_true, res, g):
+    params, X = res
+    _, vjp = jax.vjp(
+        lambda p, xx: train_covariance_xla(p, xx, kind, jitter,
+                                           n_true=n_true),
+        params, X)
+    return vjp(g)
+
+
+_train_cov_pallas_ad.defvjp(_train_cov_fwd, _train_cov_bwd)
+
+
 def cross_covariance(params, X1, X2, kind="rbf", method="auto", n_true=None):
     """K(X1, X2) without noise. method: 'auto' | 'xla' | 'pallas'."""
     if method == "auto":
         method = "pallas" if _use_pallas(X1.shape[0], X2.shape[0]) else "xla"
     if method == "pallas":
-        from cugp_tpu.ops import cov_pallas
-
-        return cov_pallas.cross_covariance_pallas(
-            params, X1, X2, kind,
-            n1_true=n_true if n_true is not None else X1.shape[0])
+        return _cross_cov_pallas_ad(params, X1, X2, kind, n_true)
     return cross_covariance_xla(params, X1, X2, kind, n_true=n_true)
 
 
@@ -132,11 +184,7 @@ def train_covariance(params, X, kind="rbf", jitter=1e-6, method="auto",
     if method == "auto":
         method = "pallas" if _use_pallas(X.shape[0], X.shape[0]) else "xla"
     if method == "pallas":
-        from cugp_tpu.ops import cov_pallas
-
-        return cov_pallas.train_covariance_pallas(
-            params, X, kind, jitter,
-            n_true=n_true if n_true is not None else X.shape[0])
+        return _train_cov_pallas_ad(params, X, kind, jitter, n_true)
     return train_covariance_xla(params, X, kind, jitter, n_true=n_true)
 
 

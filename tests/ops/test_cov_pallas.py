@@ -68,3 +68,45 @@ def test_rq_pallas_matches_oracle(rng, default_params):
     K = cov_pallas.train_covariance_pallas(
         _p32(p), jnp.asarray(X, jnp.float32), "rq", jitter=1e-6)
     np.testing.assert_allclose(np.asarray(K), K_ref, rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_builder_is_differentiable(rng, default_params):
+    """jax.grad through the Pallas builder (custom_vjp routes the backward
+    through the XLA builder — Pallas kernels have no JVP rule and round 1's
+    unwrapped dispatch crashed TPU fit at n>=1024 with method='auto')."""
+    import jax
+    from cugp_tpu.ops import kernels as kops
+
+    X = jnp.asarray(rng.uniform(-2, 2, size=(256, 2)), jnp.float32)
+    p = _p32(dict(default_params, log_lengthscale=np.log([0.8, 1.1])))
+
+    def loss_pallas(p):
+        K = kops._train_cov_pallas_ad(p, X, "rbf", 1e-6, None)
+        return jnp.sum(K * jnp.cos(K))
+
+    def loss_xla(p):
+        K = kops.train_covariance_xla(p, X, "rbf", 1e-6)
+        return jnp.sum(K * jnp.cos(K))
+
+    g_p = jax.grad(loss_pallas)(p)
+    g_x = jax.grad(loss_xla)(p)
+    for k in g_x:
+        np.testing.assert_allclose(np.asarray(g_p[k]), np.asarray(g_x[k]),
+                                   rtol=1e-3, atol=1e-3)
+
+
+def test_pallas_cross_builder_is_differentiable(rng, default_params):
+    import jax
+    from cugp_tpu.ops import kernels as kops
+
+    X1 = jnp.asarray(rng.uniform(-2, 2, size=(256, 2)), jnp.float32)
+    X2 = jnp.asarray(rng.uniform(-2, 2, size=(130, 2)), jnp.float32)
+    p = _p32(dict(default_params, log_lengthscale=np.log([0.8, 1.1])))
+
+    g_p = jax.grad(lambda p: jnp.sum(
+        kops._cross_cov_pallas_ad(p, X1, X2, "rbf", None) ** 2))(p)
+    g_x = jax.grad(lambda p: jnp.sum(
+        kops.cross_covariance_xla(p, X1, X2, "rbf") ** 2))(p)
+    for k in g_x:
+        np.testing.assert_allclose(np.asarray(g_p[k]), np.asarray(g_x[k]),
+                                   rtol=1e-3, atol=1e-3)
