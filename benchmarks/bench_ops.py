@@ -40,24 +40,37 @@ def main(argv=None):
     params = kops.init_params(d=d, lengthscale=2.0, noise_var=1e-2)
     results = {"n": n, "d": d, "backend": jax.default_backend()}
 
-    rtt = profiling.rtt_overhead()
-    results["dispatch_rtt_ms"] = rtt * 1e3
+    # Sub-100ms ops are unmeasurable through the tunnel with per-call
+    # timing (the dispatch RTT is ~5-30 ms and FLUCTUATES), so everything
+    # below chains iterations ON DEVICE (lax.scan with a data dependency,
+    # profiling.timed_loop) and only fetches once. Each chained step adds
+    # one O(N^2) mean-reduce to defeat DCE — identical across variants, so
+    # A/B comparisons are fair; absolute numbers include it (~0.3 ms at
+    # n=8192).
+    results["dispatch_rtt_ms"] = profiling.rtt_overhead() * 1e3
 
-    def timed(fn, *a, **kw):
-        return max(profiling.timed(fn, *a, iters=iters, **kw) - rtt, 1e-9)
-
-    # GEMM roofline at matching precision
+    # GEMM roofline at matching precision (on-device loop, as bench.py)
     m = min(n, 8192)
     a = jax.random.normal(key, (m, m), jnp.float32)
-    t = timed(jax.jit(lambda a: jnp.matmul(a, a, precision=HI)), a)
+
+    def gemm_step(ab):
+        x, y_ = ab
+        c = jnp.matmul(x, y_, precision=HI)
+        return (x, c * jax.lax.rsqrt(jnp.mean(c * c) + 1e-9))
+
+    t = profiling.timed_loop(gemm_step, (a, a), iters=max(iters, 6))
     results["gemm_fp32_tflops"] = 2 * m**3 / t / 1e12
 
-    # covariance build: native Pallas tier vs XLA A/B
+    # covariance build: native Pallas tier vs XLA A/B. The chain perturbs
+    # X by a K-dependent epsilon so iterations serialize; mean(K) defeats
+    # DCE on the XLA path (the Pallas kernel is opaque either way).
     cov_methods = ["pallas", "xla"] if on_tpu else ["xla"]
     for cm in cov_methods:
-        cov = jax.jit(lambda p, X, cm=cm: kops.train_covariance(
-            p, X, method=cm))
-        t = timed(cov, params, X)
+        def cov_step(X_, cm=cm):
+            K = kops.train_covariance(params, X_, method=cm)
+            return X_ * (1.0 + 0.0 * jnp.mean(K))
+
+        t = profiling.timed_loop(cov_step, X, iters=max(iters, 6))
         results[f"cov_build_{cm}"] = {
             "ms": t * 1e3,
             "gflops": profiling.gflops(profiling.cov_flops(n, n, d), t),
@@ -69,9 +82,15 @@ def main(argv=None):
     K = jax.jit(lambda p, X: kops.train_covariance(
         p, X, method=cov_methods[0]))(params, X)
 
+    # Cholesky variants: chain by rescaling K with a logdet-dependent
+    # epsilon (the full factorization feeds every diagonal element)
     for name in (["xla", "blocked", "pallas"] if on_tpu else ["xla"]):
-        ch = jax.jit(lambda K, name=name: chol_ops.cholesky(K, method=name))
-        t = timed(ch, K)
+        def chol_step(K_, name=name):
+            L = chol_ops.cholesky(K_, method=name)
+            eps = 0.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
+            return K_ * (1.0 + eps)
+
+        t = profiling.timed_loop(chol_step, K, iters=max(iters, 4))
         results[f"chol_{name}"] = {
             "ms": t * 1e3,
             "tflops": profiling.chol_flops(n) / t / 1e12,
@@ -79,8 +98,9 @@ def main(argv=None):
             / results["gemm_fp32_tflops"],
         }
 
-    # native-tier potrf base kernel vs XLA at the recursion base size,
-    # timed on-device (loop-chained) so the comparison is RTT-free
+    # native-tier potrf base kernel vs XLA at the recursion base size
+    # (raw chained step time; the l l^T re-symmetrization is identical in
+    # both chains, so the A/B is fair)
     if on_tpu:
         from cugp_tpu.ops import chol_pallas
 
@@ -94,31 +114,33 @@ def main(argv=None):
                 return jnp.matmul(l, l.T, precision=HI) + 0.0 * l
             return step
 
-        t_p = profiling.timed_loop(mk_step(chol_pallas.potrf), ab, iters=8)
+        t_p = profiling.timed_loop(mk_step(chol_pallas.potrf), ab, iters=64)
         t_x = profiling.timed_loop(mk_step(jax.lax.linalg.cholesky), ab,
-                                   iters=8)
-        t_r = profiling.timed_loop(
-            lambda x: jnp.matmul(x, jnp.eye(nb, dtype=x.dtype), precision=HI),
-            ab, iters=8)
+                                   iters=64)
         results["potrf_base_1024"] = {
-            "pallas_ms": max(t_p - t_r, 0.0) * 1e3,
-            "xla_ms": max(t_x - t_r, 0.0) * 1e3,
+            "pallas_ms_incl_resym": t_p * 1e3,
+            "xla_ms_incl_resym": t_x * 1e3,
             "winner": "pallas" if t_p < t_x else "xla",
         }
 
     L = chol_ops.cholesky(K, method="xla")
     nrhs = 512
     B = jax.random.normal(key, (n, nrhs), jnp.float32)
-    ts = jax.jit(lambda L, B: trsm.solve_lx(L, B))
-    t = timed(ts, L, B)
+
+    def trsm_step(B_):
+        V = trsm.solve_lx(L, B_)
+        return V * jax.lax.rsqrt(jnp.mean(V * V) + 1e-9)
+
+    t = profiling.timed_loop(trsm_step, B, iters=max(iters, 6))
     results["trsm_512rhs"] = {
         "ms": t * 1e3,
         "gflops": profiling.gflops(profiling.trsm_flops(n, nrhs), t),
     }
 
+    # LML grad is >100 ms at bench sizes: plain fetch-barrier timing is ok
     vg = jax.jit(jax.value_and_grad(
         lambda p: exact_gp.log_marginal_likelihood(p, X, y, method="auto")))
-    t = timed(vg, params)
+    t = profiling.timed(vg, params, iters=iters)
     # LML grad = cov + chol + solves + vjp(2 trsm + gemm) ~ 3x chol flops
     results["lml_value_and_grad"] = {"ms": t * 1e3}
 
