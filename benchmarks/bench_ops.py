@@ -114,24 +114,31 @@ def main(argv=None):
                 return jnp.matmul(l, l.T, precision=HI) + 0.0 * l
             return step
 
-        t_p = profiling.timed_loop(mk_step(chol_pallas.potrf), ab, iters=64)
-        t_x = profiling.timed_loop(mk_step(jax.lax.linalg.cholesky), ab,
-                                   iters=64)
-        results["potrf_base_1024"] = {
-            "pallas_ms_incl_resym": t_p * 1e3,
-            "xla_ms_incl_resym": t_x * 1e3,
-            "winner": "pallas" if t_p < t_x else "xla",
-        }
+        try:
+            t_p = profiling.timed_loop(mk_step(chol_pallas.potrf), ab,
+                                       iters=24)
+            t_x = profiling.timed_loop(mk_step(jax.lax.linalg.cholesky), ab,
+                                       iters=24)
+            results["potrf_base_1024"] = {
+                "pallas_ms_incl_resym": t_p * 1e3,
+                "xla_ms_incl_resym": t_x * 1e3,
+                "winner": "pallas" if t_p < t_x else "xla",
+            }
+        except Exception as e:  # tunnel payload limits etc. — keep going
+            results["potrf_base_1024"] = {"error": str(e)[:120]}
 
     L = chol_ops.cholesky(K, method="xla")
     nrhs = 512
     B = jax.random.normal(key, (n, nrhs), jnp.float32)
 
-    def trsm_step(B_):
-        V = trsm.solve_lx(L, B_)
-        return V * jax.lax.rsqrt(jnp.mean(V * V) + 1e-9)
+    # L rides the carry, NOT a closure: closed-over arrays are serialized
+    # into the program payload and the tunnel rejects >buffer-limit bodies
+    def trsm_step(lb):
+        L_, B_ = lb
+        V = trsm.solve_lx(L_, B_)
+        return (L_, V * jax.lax.rsqrt(jnp.mean(V * V) + 1e-9))
 
-    t = profiling.timed_loop(trsm_step, B, iters=max(iters, 6))
+    t = profiling.timed_loop(trsm_step, (L, B), iters=max(iters, 6))
     results["trsm_512rhs"] = {
         "ms": t * 1e3,
         "gflops": profiling.gflops(profiling.trsm_flops(n, nrhs), t),
