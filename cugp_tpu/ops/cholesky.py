@@ -120,14 +120,15 @@ def _cholesky_bwd(method, precision, l, l_bar):
     # batched-safe diagonal embedding (diagflat would flatten batch dims)
     diag_p = jnp.diagonal(p, axis1=-2, axis2=-1)
     p = jnp.tril(p) - 0.5 * diag_p[..., None, :] * jnp.eye(n, dtype=p.dtype)
-    # S = L^{-T} (P + P^T) L^{-1}: two triangular solves.
+    # S = L^{-T} (P + P^T) L^{-1}: two full n x n triangular solves — on
+    # the gradient critical path of every fit/HMC step. XLA's native
+    # triangular_solve is ~3x slower than the blocked recursion here
+    # (bench_ops round 2: the solves dominated lml_value_and_grad), so
+    # route both through the MXU-GEMM recursion; the right-side solve
+    # X L = tmp is expressed as (L^T X^T = tmp^T)^T.
     sym = p + p.mT
-    tmp = lax.linalg.triangular_solve(
-        l, sym, left_side=True, lower=True, transpose_a=True
-    )
-    s = lax.linalg.triangular_solve(
-        l, tmp, left_side=False, lower=True, transpose_a=False
-    )
+    tmp = trsm_ops.solve_ltx(l, sym, method="xla", precision=_HI)
+    s = trsm_ops.solve_ltx(l, tmp.mT, method="xla", precision=_HI).mT
     # s is symmetric by construction; 0.25*(s+s^T) = 0.5*s (Murray eq. 8)
     # with the average keeping it exactly symmetric in floating point
     a_bar = 0.25 * (s + s.mT)
