@@ -253,6 +253,13 @@ class GP:
         gp.condition(tree["X"], tree["y"], params=tree["params"])
         return gp
 
+    def fit_classifier(self, X, y, **kw):
+        """Convenience: build a GPClassifier with this GP's config and fit."""
+        clf = GPClassifier(kind=self.kind, jitter=self.jitter,
+                           method=self.method)
+        clf.fit(X, y, **kw)
+        return clf
+
     def fit_vi(self, *, steps=2000, learning_rate=0.01, rank="meanfield",
                num_mc=8, key=None, init=None):
         """Variational posterior over hyperparameters (inference/vi)."""
@@ -265,3 +272,56 @@ class GP:
             method=self.method, steps=steps, learning_rate=learning_rate,
             rank=rank, num_mc=num_mc, key=key,
         )
+
+
+@dataclasses.dataclass
+class GPClassifier:
+    """Binary GP classification via the Laplace approximation (models/gpc).
+
+    Labels: anything binary — mapped internally to {-1, +1}. Kernel
+    hyperparameters are learned by maximizing the Laplace approximate
+    marginal likelihood; predict_proba returns p(y=+1 | x) under the
+    MacKay probit approximation.
+    """
+
+    kind: str = "rbf"
+    jitter: float = 1e-6
+    method: str = "auto"
+    params: Optional[dict] = None
+    X: Optional[Any] = None
+    y: Optional[Any] = None
+
+    def _data(self, X, y):
+        X = jnp.asarray(X, jnp.float32)
+        y = np.asarray(y)
+        classes = np.unique(y)
+        if classes.shape[0] != 2:
+            raise ValueError(f"need exactly 2 classes, got {classes}")
+        ypm = np.where(y == classes[1], 1.0, -1.0).astype(np.float32)
+        return X, jnp.asarray(ypm)
+
+    def fit(self, X, y, *, steps=100, learning_rate=0.05, init=None,
+            num_newton=20):
+        from cugp_tpu.models import gpc
+
+        X, ypm = self._data(X, y)
+        if init is None:
+            init = kernel_ops.init_params(d=X.shape[1])
+        params, info = gpc.fit(
+            init, X, ypm, kind=self.kind, jitter=self.jitter,
+            method=self.method, steps=steps, learning_rate=learning_rate,
+            num_newton=num_newton)
+        self.params, self.X, self.y = params, X, ypm
+        return info
+
+    def predict_proba(self, Xs, *, num_newton=20):
+        from cugp_tpu.models import gpc
+
+        p, _, _ = gpc.predict_proba(
+            self.params, self.X, self.y, jnp.asarray(Xs, jnp.float32),
+            kind=self.kind, jitter=self.jitter, method=self.method,
+            num_newton=num_newton)
+        return p
+
+    def predict(self, Xs):
+        return jnp.where(self.predict_proba(Xs) > 0.5, 1, -1)

@@ -4,6 +4,7 @@ Usage:
   python -m cugp_tpu.cli fit     [--data.n=8000 --model.kind=rbf ...]
   python -m cugp_tpu.cli predict [--data.n=1000 ...]
   python -m cugp_tpu.cli sample  [--sample.num_chains=256 ...]
+  python -m cugp_tpu.cli classify [--data.n=400 ...]   (Laplace GPC)
   python -m cugp_tpu.cli vi      [...]
   python -m cugp_tpu.cli sgpr    [--data.n=20000 ...]
   python -m cugp_tpu.cli info
@@ -169,6 +170,28 @@ def cmd_sgpr(cfg):
     }, indent=2))
 
 
+def cmd_classify(cfg):
+    """Binary GP classification (Laplace) on the two-moons dataset."""
+    from cugp_tpu.api import GPClassifier
+    from cugp_tpu.data import synthetic
+
+    X, y = synthetic.two_moons(n=cfg.data.n, noise_std=cfg.data.noise_std,
+                               seed=cfg.data.seed)
+    clf = GPClassifier(kind=cfg.model.kind, jitter=cfg.model.jitter,
+                       method=cfg.model.method)
+    t0 = time.perf_counter()
+    info = clf.fit(X, y, steps=cfg.fit.steps,
+                   learning_rate=cfg.fit.learning_rate)
+    p = np.asarray(clf.predict_proba(X))
+    acc = float(np.mean((p > 0.5) == (y > 0)))
+    print(json.dumps({
+        "seconds": round(time.perf_counter() - t0, 3),
+        "laplace_lml": float(np.asarray(info["lml"])),
+        "train_accuracy": acc,
+        "params": {k: np.asarray(v).tolist() for k, v in clf.params.items()},
+    }, indent=2))
+
+
 def cmd_info(cfg):
     import jax
 
@@ -207,6 +230,7 @@ def main(argv=None):
         return 2
     fn = {
         "fit": cmd_fit, "predict": cmd_predict, "sample": cmd_sample,
+        "classify": cmd_classify,
         "vi": cmd_vi, "sgpr": cmd_sgpr, "info": cmd_info,
     }.get(cmd)
     if fn is None:

@@ -70,6 +70,26 @@ def pad_dataset(X, y, n_padded):
     return Xp, yp
 
 
+def two_moons(n=200, noise_std=0.15, seed=0):
+    """Binary classification dataset (two interleaved half-circles).
+
+    Returns (X (n,2) float32, y (n,) float32 in {-1, +1}).
+    """
+    rng = np.random.default_rng(seed)
+    n1 = n // 2
+    n2 = n - n1
+    t1 = rng.uniform(0.0, np.pi, n1)
+    t2 = rng.uniform(0.0, np.pi, n2)
+    X = np.concatenate([
+        np.stack([np.cos(t1), np.sin(t1)], axis=1),
+        np.stack([1.0 - np.cos(t2), 0.5 - np.sin(t2)], axis=1),
+    ])
+    X += noise_std * rng.standard_normal(X.shape)
+    y = np.concatenate([-np.ones(n1), np.ones(n2)])
+    perm = rng.permutation(n)
+    return X[perm].astype(np.float32), y[perm].astype(np.float32)
+
+
 def host_shard(X, y, process_index, process_count):
     """Contiguous row shard for this host (multi-host data feeding)."""
     n = X.shape[0]

@@ -1,0 +1,155 @@
+"""Binary GP classification (Laplace approximation) — beyond-parity model
+family. The reference covers GP regression only; this adds the classic
+companion (GPML ch. 3) on the same TPU-native ops tier: covariance from
+C1, Cholesky from C2, everything jitted with static Newton/step counts.
+
+Model: y in {-1, +1}, logistic likelihood p(y|f) = sigmoid(y f), GP prior
+f ~ N(0, K). Laplace: find the posterior mode f_hat by Newton iteration
+in the numerically stable W^1/2 parameterization (GPML Algorithm 3.1 —
+B = I + W^1/2 K W^1/2 is well conditioned even when K is not), then a
+Gaussian approximation at the mode gives the approximate log marginal
+likelihood (for hyperparameter learning via AD through the unrolled
+Newton scan) and the predictive distribution (Algorithm 3.2, with the
+MacKay probit approximation for the class probability integral).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from cugp_tpu.ops import cholesky as chol_ops
+from cugp_tpu.ops import kernels as kernel_ops
+from cugp_tpu.ops import trsm as trsm_ops
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _log_sigmoid(z):
+    return -jnp.logaddexp(0.0, -z)
+
+
+def _newton_state(params, X, kind, jitter, method):
+    K = kernel_ops.train_covariance(params, X, kind=kind, jitter=jitter,
+                                    method=method)
+    return K
+
+
+def _laplace_mode(K, y, num_newton=20):
+    """Newton iterations for the mode (GPML Alg 3.1). Returns (f, a, obj).
+
+    a = K^{-1} f at the mode; obj = -1/2 a^T f + log p(y|f) (mode part of
+    the approximate LML). Fixed iteration count keeps the graph static;
+    logistic Newton converges in <10 steps on anything reasonable.
+    """
+    n = y.shape[0]
+    eye = jnp.eye(n, dtype=K.dtype)
+
+    def step(carry, _):
+        f, _a = carry
+        pi = jax.nn.sigmoid(f)
+        # d log p / df for y in {-1,+1}: (y+1)/2 - pi
+        t = 0.5 * (y + 1.0)
+        grad = t - pi
+        w = jnp.maximum(pi * (1.0 - pi), 1e-10)
+        sw = jnp.sqrt(w)
+        B = eye + sw[:, None] * K * sw[None, :]
+        L = chol_ops.cholesky(B, method="xla")
+        b = w * f + grad
+        # a = b - W^1/2 L^-T (L^-1 (W^1/2 K b))
+        kb = jnp.matmul(K, b[:, None], precision=_HI)[:, 0]
+        inner = trsm_ops.solve_lx(L, sw * kb)
+        a = b - sw * trsm_ops.solve_ltx(L, inner)
+        f = jnp.matmul(K, a[:, None], precision=_HI)[:, 0]
+        return (f, a), None
+
+    f0 = jnp.zeros_like(y)
+    (f, a), _ = jax.lax.scan(step, (f0, jnp.zeros_like(y)), None,
+                             length=num_newton)
+    t = 0.5 * (y + 1.0)
+    loglik = jnp.sum(_log_sigmoid(jnp.where(t > 0.5, f, -f)))
+    obj = -0.5 * jnp.sum(a * f) + loglik
+    return f, a, obj
+
+
+@partial(jax.jit, static_argnames=("kind", "jitter", "method", "num_newton"))
+def laplace_lml(params, X, y, kind="rbf", jitter=1e-6, method="auto",
+                num_newton=20):
+    """Approximate log marginal likelihood under the Laplace approximation.
+
+    log q(y|X, theta) = -1/2 a^T f + log p(y|f) - sum_i log L_ii with
+    L = chol(I + W^1/2 K W^1/2) at the mode (GPML eq. 3.32). AD through
+    the unrolled Newton scan gives hyperparameter gradients (the exact
+    mode is a fixed point, so the extra Newton terms vanish at
+    convergence; with 20 iterations the bias is far below fp32 noise).
+    """
+    K = _newton_state(params, X, kind, jitter, method)
+    f, a, obj = _laplace_mode(K, y, num_newton)
+    pi = jax.nn.sigmoid(f)
+    w = jnp.maximum(pi * (1.0 - pi), 1e-10)
+    sw = jnp.sqrt(w)
+    n = y.shape[0]
+    B = jnp.eye(n, dtype=K.dtype) + sw[:, None] * K * sw[None, :]
+    L = chol_ops.cholesky(B, method="xla")
+    return obj - jnp.sum(jnp.log(jnp.diagonal(L)))
+
+
+@partial(jax.jit, static_argnames=("kind", "jitter", "method", "num_newton"))
+def predict_proba(params, X, y, Xs, kind="rbf", jitter=1e-6, method="auto",
+                  num_newton=20):
+    """Predictive class-+1 probability at Xs (GPML Alg 3.2 + MacKay probit
+    approximation of the logistic integral). Returns (prob, f_mean, f_var).
+    """
+    K = _newton_state(params, X, kind, jitter, method)
+    f, a, _ = _laplace_mode(K, y, num_newton)
+    pi = jax.nn.sigmoid(f)
+    t = 0.5 * (y + 1.0)
+    grad = t - pi
+    w = jnp.maximum(pi * (1.0 - pi), 1e-10)
+    sw = jnp.sqrt(w)
+    n = y.shape[0]
+    B = jnp.eye(n, dtype=K.dtype) + sw[:, None] * K * sw[None, :]
+    L = chol_ops.cholesky(B, method="xla")
+
+    Ks = kernel_ops.cross_covariance(params, X, Xs, kind=kind, method=method)
+    mu = jnp.einsum("nm,n->m", Ks, grad, precision=_HI)
+    v = trsm_ops.solve_lx(L, sw[:, None] * Ks)
+    sf2 = jnp.exp(params["log_signal_var"])
+    var = jnp.maximum(sf2 - jnp.sum(v * v, axis=0), 1e-10)
+    # MacKay: int sigmoid(z) N(z|mu, var) dz ~ sigmoid(mu / sqrt(1+pi/8 var))
+    kappa = 1.0 / jnp.sqrt(1.0 + (math.pi / 8.0) * var)
+    return jax.nn.sigmoid(kappa * mu), mu, var
+
+
+def fit(init_params, X, y, *, kind="rbf", jitter=1e-6, method="auto",
+        steps=100, learning_rate=0.05, num_newton=20):
+    """MAP hyperparameter learning by maximizing the Laplace marginal."""
+    import optax
+
+    from cugp_tpu.inference import map_opt
+
+    tx = optax.apply_if_finite(optax.adam(learning_rate), 100)
+
+    @jax.jit
+    def run(params, X, y):
+        state = tx.init(params)
+
+        def step(carry, _):
+            p, s = carry
+            val, g = jax.value_and_grad(
+                lambda p: -laplace_lml(p, X, y, kind=kind, jitter=jitter,
+                                       method=method,
+                                       num_newton=num_newton))(p)
+            updates, s = tx.update(g, s, p)
+            p = map_opt._clamp(optax.apply_updates(p, updates))
+            return (p, s), val
+
+        (params, _), losses = jax.lax.scan(step, (params, state), None,
+                                           length=steps)
+        return params, losses
+
+    params, losses = run(init_params, X, y)
+    return params, {"loss": losses, "lml": -losses[-1]}
