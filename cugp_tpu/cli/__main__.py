@@ -124,11 +124,22 @@ def cmd_sample(cfg):
             key=jax.random.key(cfg.sample.seed),
         )
     dt = time.perf_counter() - t0
-    stats = {
-        k: {"mean": np.asarray(v).mean(axis=(0, 1)).tolist(),
-            "std": np.asarray(v).std(axis=(0, 1)).tolist()}
-        for k, v in res["samples"].items()
-    }
+    from cugp_tpu.inference import sampling as sampling_lib
+
+    stats = {}
+    for k, v in res["samples"].items():
+        arr = np.asarray(v)
+        flat2 = arr.reshape(arr.shape[0], arr.shape[1], -1)
+        rhat = [float(sampling_lib.potential_scale_reduction(flat2[:, :, j]))
+                for j in range(flat2.shape[2])]
+        ess = [float(sampling_lib.effective_sample_size(flat2[:, :, j]))
+               for j in range(flat2.shape[2])]
+        stats[k] = {
+            "mean": arr.mean(axis=(0, 1)).tolist(),
+            "std": arr.std(axis=(0, 1)).tolist(),
+            "r_hat": rhat if len(rhat) > 1 else rhat[0],
+            "ess": ess if len(ess) > 1 else ess[0],
+        }
     out = {
         "seconds": round(dt, 3),
         "accept_rate": float(np.asarray(res["accept_rate"]).mean()),
