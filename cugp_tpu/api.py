@@ -32,6 +32,7 @@ class GP:
     kind: str = "rbf"
     jitter: float = 1e-6
     method: str = "auto"
+    basis: Optional[str] = None  # None | "constant" | "linear" (GPML 2.7)
     params: Optional[dict] = None
     X: Optional[Any] = None
     y: Optional[Any] = None
@@ -41,6 +42,8 @@ class GP:
             raise ValueError(
                 f"unknown kernel kind {self.kind!r}; supported: "
                 f"{kernel_ops.SUPPORTED_KERNELS}")
+        if self.basis not in (None, "constant", "linear"):
+            raise ValueError(f"unknown basis {self.basis!r}")
 
     def _data(self, X, y):
         X = jnp.asarray(X, dtype=jnp.float32)
@@ -63,6 +66,7 @@ class GP:
         params, info = map_opt.fit(
             init, X, y, kind=self.kind, jitter=self.jitter, method=self.method,
             steps=steps, optimizer=optimizer, learning_rate=learning_rate,
+            basis=self.basis,
         )
         self.params, self.X, self.y = params, X, y
         return info
@@ -78,14 +82,33 @@ class GP:
 
     def log_marginal_likelihood(self, params=None):
         p = params if params is not None else self.params
+        if self.basis is not None:
+            return exact_gp.log_marginal_likelihood_basis(
+                p, self.X, self.y, kind=self.kind, jitter=self.jitter,
+                method=self.method, basis=self.basis)
         return exact_gp.log_marginal_likelihood(
             p, self.X, self.y, kind=self.kind, jitter=self.jitter,
             method=self.method,
         )
 
     def predict(self, Xs, *, include_noise=False, full_cov=False, batch=4096):
-        """Posterior mean/variance at Xs, tiled over test batches."""
+        """Posterior mean/variance at Xs, tiled over test batches.
+
+        With a basis configured, the semiparametric corrections apply and
+        the fitted coefficients land in self.beta.
+        """
         Xs = jnp.asarray(Xs, dtype=jnp.float32)
+        if self.basis is not None:
+            if full_cov:
+                raise NotImplementedError(
+                    "full_cov with an explicit basis: use posterior_basis "
+                    "pieces directly")
+            mu, var, beta = exact_gp.posterior_basis(
+                self.params, self.X, self.y, Xs, kind=self.kind,
+                jitter=self.jitter, method=self.method, basis=self.basis,
+                include_noise=include_noise)
+            self.beta = beta
+            return mu, var
         if full_cov:
             return exact_gp.posterior_full_cov(
                 self.params, self.X, self.y, Xs, kind=self.kind,

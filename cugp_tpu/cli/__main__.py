@@ -46,7 +46,7 @@ def _make_gp(cfg):
     from cugp_tpu.api import GP
 
     return GP(kind=cfg.model.kind, jitter=cfg.model.jitter,
-              method=cfg.model.method)
+              method=cfg.model.method, basis=cfg.model.basis or None)
 
 
 def cmd_fit(cfg):

@@ -19,7 +19,11 @@ import optax
 from cugp_tpu.models import exact_gp
 
 
-def _neg_lml(params, X, y, kind, jitter, method):
+def _neg_lml(params, X, y, kind, jitter, method, basis=None):
+    if basis is not None:
+        return -exact_gp.log_marginal_likelihood_basis(
+            params, X, y, kind=kind, jitter=jitter, method=method,
+            basis=basis)
     return -exact_gp.log_marginal_likelihood(
         params, X, y, kind=kind, jitter=jitter, method=method
     )
@@ -48,11 +52,12 @@ def _clamp(params):
 @partial(
     jax.jit,
     static_argnames=("kind", "jitter", "method", "steps", "optimizer",
-                     "learning_rate"),
+                     "learning_rate", "basis"),
 )
 def _fit_scan(params, X, y, kind, jitter, method, steps, optimizer,
-              learning_rate):
-    loss_fn = partial(_neg_lml, X=X, y=y, kind=kind, jitter=jitter, method=method)
+              learning_rate, basis=None):
+    loss_fn = partial(_neg_lml, X=X, y=y, kind=kind, jitter=jitter,
+                      method=method, basis=basis)
 
     if optimizer == "adam":
         # skip (don't apply) any non-finite update instead of poisoning the
@@ -83,15 +88,17 @@ def _fit_scan(params, X, y, kind, jitter, method, steps, optimizer,
 
 
 def fit(init_params, X, y, *, kind="rbf", jitter=1e-6, method="auto",
-        steps=200, optimizer="adam", learning_rate=0.05):
+        steps=200, optimizer="adam", learning_rate=0.05, basis=None):
     """Maximize the LML over log-hyperparameters.
 
+    basis: None (zero mean), "constant", or "linear" — with a basis the
+    objective is the marginalized-basis LML (exact_gp section 2.7).
     Returns (params, info) where info = {"loss": (steps,) negative-LML trace,
     "lml": final LML}.
     """
     params, losses = _fit_scan(
         init_params, X, y, kind, jitter, method, steps, optimizer,
-        learning_rate,
+        learning_rate, basis,
     )
     info = {"loss": losses, "lml": -losses[-1]}
     return params, info

@@ -124,6 +124,90 @@ def posterior_full_cov(params, X, y, Xs, kind="rbf", jitter=1e-6, method="auto")
     return mu, cov
 
 
+# ---- Explicit basis functions (semiparametric GP, GPML section 2.7) ----
+# g(x) = f(x) + h(x)^T beta with f ~ GP and beta marginalized under the
+# vague-prior limit (O'Hagan): closed-form corrections to the posterior
+# and the marginal likelihood. Bases: "constant" (h = [1]) and "linear"
+# (h = [1, x]). The reference has no mean-function support (zero-mean
+# only); this is beyond-parity surface on the same ops tier.
+
+
+def basis_matrix(X, basis):
+    """H with rows h_j evaluated at the inputs: (m_b, n)."""
+    n = X.shape[0]
+    ones = jnp.ones((1, n), X.dtype)
+    if basis == "constant":
+        return ones
+    if basis == "linear":
+        return jnp.concatenate([ones, X.T], axis=0)
+    raise ValueError(f"unknown basis: {basis}")
+
+
+def _basis_terms(L, y, H, method):
+    """A = H K^-1 H^T, c = H K^-1 y, and K^-1 H^T (shared solves)."""
+    solve_method = "xla" if method == "auto" else method
+    KinvHt = trsm_ops.cho_solve(L, H.T, method=solve_method)  # (n, m_b)
+    A = jnp.matmul(H, KinvHt, precision=jax.lax.Precision.HIGHEST)
+    m_b = A.shape[0]
+    A = A + 1e-8 * jnp.eye(m_b, dtype=A.dtype) * jnp.trace(A) / m_b
+    c = jnp.matmul(KinvHt.mT, y[:, None],
+                   precision=jax.lax.Precision.HIGHEST)[:, 0]
+    return A, c, KinvHt
+
+
+@partial(jax.jit, static_argnames=("kind", "jitter", "method", "basis"))
+def log_marginal_likelihood_basis(params, X, y, kind="rbf", jitter=1e-6,
+                                  method="auto", basis="linear"):
+    """LML with marginalized basis coefficients (GPML eq. 2.45, vague
+    limit): lml_0 + 1/2 c^T A^-1 c - 1/2 log|A| + (m_b/2) log 2pi."""
+    L, alpha = _factorize(params, X, y, kind, jitter, method)
+    n = y.shape[-1]
+    logdet_half = jnp.sum(jnp.log(jnp.diagonal(L)))
+    lml0 = (-0.5 * jnp.sum(y * alpha) - logdet_half - 0.5 * n * LOG2PI)
+    H = basis_matrix(X, basis)
+    A, c, _ = _basis_terms(L, y, H, method)
+    La = chol_ops.cholesky(A, method="xla")
+    w = trsm_ops.solve_lx(La, c, method="xla")
+    m_b = H.shape[0]
+    return (lml0 + 0.5 * jnp.sum(w * w)
+            - jnp.sum(jnp.log(jnp.diagonal(La))) + 0.5 * m_b * LOG2PI)
+
+
+@partial(jax.jit, static_argnames=("kind", "jitter", "method", "basis",
+                                   "include_noise"))
+def posterior_basis(params, X, y, Xs, kind="rbf", jitter=1e-6, method="auto",
+                    basis="linear", include_noise=False):
+    """Posterior mean/variance with the marginalized basis (GPML 2.7):
+
+    mean += R^T beta_hat,  var += diag(R^T A^-1 R),
+    R = H(Xs) - H K^-1 K*,  beta_hat = A^-1 c.
+    Returns (mu, var, beta_hat).
+    """
+    L, alpha = _factorize(params, X, y, kind, jitter, method)
+    Ks = kernel_ops.cross_covariance(params, X, Xs, kind=kind, method=method)
+    mu0 = jnp.einsum("nm,n->m", Ks, alpha,
+                     precision=jax.lax.Precision.HIGHEST)
+    solve_method = "xla" if method == "auto" else method
+    V = trsm_ops.solve_lx(L, Ks, method=solve_method)
+    sf2 = jnp.exp(params["log_signal_var"])
+    var0 = sf2 - jnp.sum(V * V, axis=0)
+
+    H = basis_matrix(X, basis)
+    Hs = basis_matrix(Xs, basis)
+    A, c, KinvHt = _basis_terms(L, y, H, method)
+    La = chol_ops.cholesky(A, method="xla")
+    beta = trsm_ops.cho_solve(La, c, method="xla")
+    R = Hs - jnp.matmul(KinvHt.mT, Ks,
+                        precision=jax.lax.Precision.HIGHEST)  # (m_b, ns)
+    mu = mu0 + jnp.einsum("bm,b->m", R, beta,
+                          precision=jax.lax.Precision.HIGHEST)
+    W = trsm_ops.solve_lx(La, R, method="xla")
+    var = var0 + jnp.sum(W * W, axis=0)
+    if include_noise:
+        var = var + jnp.exp(params["log_noise_var"])
+    return mu, jnp.maximum(var, 0.0), beta
+
+
 @partial(jax.jit, static_argnames=("kind", "jitter", "method"))
 def lml_gradients_analytic(params, X, y, kind="rbf", jitter=1e-6, method="auto"):
     """Analytic LML gradients: 1/2 tr((alpha alpha^T - K^{-1}) dK/dtheta).

@@ -108,6 +108,66 @@ def posterior(params, X, y, Xs, kind="rbf", jitter=1e-6, include_noise=False):
     return mu, np.maximum(var, 0.0)
 
 
+def _basis_matrix(X, basis):
+    n = X.shape[0]
+    ones = np.ones((1, n))
+    if basis == "constant":
+        return ones
+    if basis == "linear":
+        return np.concatenate([ones, np.asarray(X, np.float64).T], axis=0)
+    raise ValueError(basis)
+
+
+def log_marginal_likelihood_basis(params, X, y, kind="rbf", jitter=1e-6,
+                                  basis="linear"):
+    """Vague-limit marginalized-basis LML (GPML eq. 2.45) in float64."""
+    p = _as_params(params)
+    X = np.asarray(X, np.float64)
+    y = np.asarray(y, np.float64)
+    L, alpha = _chol_factor(p, X, y, kind, jitter)
+    n = y.shape[0]
+    lml0 = (-0.5 * float(y @ alpha) - float(np.sum(np.log(np.diag(L))))
+            - 0.5 * n * LOG2PI)
+    H = _basis_matrix(X, basis)
+    KinvHt = sla.cho_solve((L, True), H.T)
+    A = H @ KinvHt
+    m_b = A.shape[0]
+    A = A + 1e-8 * np.eye(m_b) * np.trace(A) / m_b
+    c = KinvHt.T @ y
+    La = sla.cholesky(A, lower=True)
+    w = sla.solve_triangular(La, c, lower=True)
+    return (lml0 + 0.5 * float(w @ w)
+            - float(np.sum(np.log(np.diag(La)))) + 0.5 * m_b * LOG2PI)
+
+
+def posterior_basis(params, X, y, Xs, kind="rbf", jitter=1e-6,
+                    basis="linear"):
+    p = _as_params(params)
+    X = np.asarray(X, np.float64)
+    y = np.asarray(y, np.float64)
+    Xs = np.asarray(Xs, np.float64)
+    L, alpha = _chol_factor(p, X, y, kind, jitter)
+    Ks = kernel_matrix(p, X, Xs, kind)
+    mu0 = Ks.T @ alpha
+    V = sla.solve_triangular(L, Ks, lower=True)
+    sf2 = float(np.exp(p["log_signal_var"]))
+    var0 = sf2 - np.sum(V * V, axis=0)
+    H = _basis_matrix(X, basis)
+    Hs = _basis_matrix(Xs, basis)
+    KinvHt = sla.cho_solve((L, True), H.T)
+    A = H @ KinvHt
+    m_b = A.shape[0]
+    A = A + 1e-8 * np.eye(m_b) * np.trace(A) / m_b
+    c = KinvHt.T @ y
+    La = sla.cholesky(A, lower=True)
+    beta = sla.cho_solve((La, True), c)
+    R = Hs - KinvHt.T @ Ks
+    mu = mu0 + R.T @ beta
+    W = sla.solve_triangular(La, R, lower=True)
+    var = var0 + np.sum(W * W, axis=0)
+    return mu, np.maximum(var, 0.0), beta
+
+
 def lml_gradients(params, X, y, kind="rbf", jitter=1e-6):
     """Analytic LML gradients w.r.t. log-hyperparameters.
 

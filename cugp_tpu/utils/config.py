@@ -14,9 +14,10 @@ from typing import Optional, Tuple
 
 @dataclasses.dataclass
 class ModelConfig:
-    kind: str = "rbf"            # rbf | matern12 | matern32 | matern52
+    kind: str = "rbf"            # rbf | matern12 | matern32 | matern52 | rq
     jitter: float = 1e-6
     method: str = "auto"         # auto | xla | blocked | pallas
+    basis: str = ""              # "" (zero mean) | constant | linear
     lengthscale: float = 1.0
     signal_var: float = 1.0
     noise_var: float = 0.1

@@ -1,0 +1,94 @@
+"""Semiparametric GP (explicit basis / mean functions, GPML 2.7) vs the
+float64 oracle; trend recovery and extrapolation behavior."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cugp_tpu.models import exact_gp
+from cugp_tpu.oracle import exact_gp_np as oracle
+from cugp_tpu.ops import kernels as kops
+
+
+@pytest.fixture(scope="module")
+def trended():
+    rng = np.random.default_rng(0)
+    n = 200
+    X = np.sort(rng.uniform(-2, 2, n))[:, None].astype(np.float32)
+    f = 0.4 * np.sin(3.0 * X[:, 0])
+    y = (2.0 + 3.0 * X[:, 0] + f + 0.05 * rng.standard_normal(n)).astype(
+        np.float32)
+    params = kops.init_params(d=1, lengthscale=0.5, signal_var=0.3,
+                              noise_var=0.01)
+    return X, y, params
+
+
+@pytest.mark.parametrize("basis", ["constant", "linear"])
+def test_lml_basis_matches_oracle(trended, basis):
+    X, y, params = trended
+    ref = oracle.log_marginal_likelihood_basis(params, X, y, basis=basis)
+    val = float(exact_gp.log_marginal_likelihood_basis(
+        params, jnp.asarray(X), jnp.asarray(y), method="xla", basis=basis))
+    assert abs(val - ref) / len(y) < 1e-3, (val, ref)
+
+
+def test_posterior_basis_matches_oracle(trended):
+    X, y, params = trended
+    Xs = np.linspace(-3, 3, 41)[:, None].astype(np.float32)
+    mu_r, var_r, beta_r = oracle.posterior_basis(params, X, y, Xs)
+    mu, var, beta = exact_gp.posterior_basis(
+        params, jnp.asarray(X), jnp.asarray(y), jnp.asarray(Xs),
+        method="xla")
+    np.testing.assert_allclose(np.asarray(mu), mu_r, rtol=1e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(var), var_r, rtol=5e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(beta), beta_r, rtol=1e-3,
+                               atol=1e-3)
+
+
+def test_linear_basis_recovers_trend(trended):
+    X, y, params = trended
+    _, _, beta = exact_gp.posterior_basis(
+        params, jnp.asarray(X), jnp.asarray(y),
+        jnp.asarray(X[:4]), method="xla")
+    # data built with intercept 2, slope 3
+    np.testing.assert_allclose(np.asarray(beta), [2.0, 3.0], atol=0.2)
+
+
+def test_basis_improves_extrapolation(trended):
+    """Far from data, the zero-mean GP reverts to 0 while the linear-basis
+    GP follows the trend — the point of mean functions."""
+    X, y, params = trended
+    Xs = np.array([[4.0], [5.0]], np.float32)  # outside the data range
+    truth = 2.0 + 3.0 * Xs[:, 0]
+    mu0, _ = exact_gp.posterior(params, jnp.asarray(X), jnp.asarray(y),
+                                jnp.asarray(Xs), method="xla")
+    mu_b, _, _ = exact_gp.posterior_basis(
+        params, jnp.asarray(X), jnp.asarray(y), jnp.asarray(Xs),
+        method="xla")
+    err0 = np.abs(np.asarray(mu0) - truth).max()
+    err_b = np.abs(np.asarray(mu_b) - truth).max()
+    assert err_b < 0.5 and err0 > 2.0, (err_b, err0)
+
+
+def test_lml_basis_differentiable(trended):
+    import jax
+
+    X, y, params = trended
+    g = jax.grad(lambda p: exact_gp.log_marginal_likelihood_basis(
+        p, jnp.asarray(X), jnp.asarray(y), method="xla"))(params)
+    assert all(bool(jnp.all(jnp.isfinite(v))) for v in jax.tree.leaves(g))
+
+
+def test_gp_facade_with_basis(trended):
+    from cugp_tpu.api import GP
+
+    X, y, _ = trended
+    gp = GP(kind="rbf", method="xla", basis="linear")
+    gp.fit(X, y, steps=60, learning_rate=0.1)
+    Xs = np.array([[4.0]], np.float32)
+    mu, var = gp.predict(Xs)
+    # trend/GP split is only weakly identified after hyperparameter
+    # learning; the zero-mean GP would predict ~0 here (error ~14)
+    assert abs(float(mu[0]) - 14.0) < 3.0  # 2 + 3*4
+    np.testing.assert_allclose(np.asarray(gp.beta), [2.0, 3.0], atol=0.6)
+    assert np.isfinite(float(gp.log_marginal_likelihood()))
