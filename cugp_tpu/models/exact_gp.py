@@ -124,6 +124,48 @@ def posterior_full_cov(params, X, y, Xs, kind="rbf", jitter=1e-6, method="auto")
     return mu, cov
 
 
+# ---- Multi-output (shared kernel) regression ----
+# p independent outputs sharing X and hyperparameters: ONE covariance and
+# ONE Cholesky serve all outputs — the solves batch over the RHS axis
+# (the reference is strictly single-output).
+
+
+@partial(jax.jit, static_argnames=("kind", "jitter", "method"))
+def log_marginal_likelihood_multi(params, X, Y, kind="rbf", jitter=1e-6,
+                                  method="auto"):
+    """Sum of per-output LMLs for Y (n, p) under one shared kernel."""
+    K = kernel_ops.train_covariance(params, X, kind=kind, jitter=jitter,
+                                    method=method)
+    sf2 = jnp.exp(params["log_signal_var"])
+    L = safe_cholesky(K, sf2, method=method, jitter0=max(jitter, 1e-6))
+    solve_method = "xla" if method == "auto" else method
+    alpha = trsm_ops.cho_solve(L, Y, method=solve_method)  # (n, p)
+    n, p = Y.shape
+    logdet_half = jnp.sum(jnp.log(jnp.diagonal(L)))
+    quad = jnp.sum(Y * alpha, axis=0)  # (p,)
+    return jnp.sum(-0.5 * quad - logdet_half - 0.5 * n * LOG2PI)
+
+
+@partial(jax.jit, static_argnames=("kind", "jitter", "method",
+                                   "include_noise"))
+def posterior_multi(params, X, Y, Xs, kind="rbf", jitter=1e-6,
+                    method="auto", include_noise=False):
+    """Posterior means (ns, p) and shared diagonal variance (ns,)."""
+    K = kernel_ops.train_covariance(params, X, kind=kind, jitter=jitter,
+                                    method=method)
+    sf2 = jnp.exp(params["log_signal_var"])
+    L = safe_cholesky(K, sf2, method=method, jitter0=max(jitter, 1e-6))
+    solve_method = "xla" if method == "auto" else method
+    alpha = trsm_ops.cho_solve(L, Y, method=solve_method)
+    Ks = kernel_ops.cross_covariance(params, X, Xs, kind=kind, method=method)
+    mu = jnp.matmul(Ks.mT, alpha, precision=jax.lax.Precision.HIGHEST)
+    V = trsm_ops.solve_lx(L, Ks, method=solve_method)
+    var = sf2 - jnp.sum(V * V, axis=0)
+    if include_noise:
+        var = var + jnp.exp(params["log_noise_var"])
+    return mu, jnp.maximum(var, 0.0)
+
+
 # ---- Explicit basis functions (semiparametric GP, GPML section 2.7) ----
 # g(x) = f(x) + h(x)^T beta with f ~ GP and beta marginalized under the
 # vague-prior limit (O'Hagan): closed-form corrections to the posterior
