@@ -88,11 +88,84 @@ class CGState(NamedTuple):
     it: jnp.ndarray
 
 
+def pivoted_cholesky(params, X, rank, kind="rbf"):
+    """Rank-`rank` partial pivoted Cholesky of the NOISE-FREE kernel
+    matrix Kf (Harbrecht et al.; the BBMM preconditioner recipe, cf.
+    PAPERS.md "Blackbox Matrix-Matrix GP Inference").
+
+    Greedy: at each step pick the column with the largest residual
+    diagonal, evaluate that single kernel column exactly (O(n d) — K is
+    never formed), and deflate. Returns Lk (n, rank) with
+    Kf ~ Lk Lk^T; the approximation error is bounded by the residual
+    diagonal trace (returned as the second value).
+    """
+    n, d = X.shape
+    ell = jnp.exp(params["log_lengthscale"])
+    sf2 = jnp.exp(params["log_signal_var"])
+    alpha = (jnp.exp(params["log_alpha"])
+             if kind == "rq" and "log_alpha" in params else None)
+    Xs = X / ell
+    sq = jnp.sum(Xs * Xs, axis=-1)  # (n,)
+    diag0 = sf2 * jnp.ones(n, X.dtype)  # stationary: k(0) * sf2
+
+    def col(j):
+        xj = jax.lax.dynamic_slice(Xs, (j, 0), (1, d))  # (1, d)
+        d2 = jnp.maximum(
+            sq + jnp.sum(xj * xj) - 2.0 * jnp.dot(Xs, xj[0], precision=_HI),
+            0.0)
+        return sf2 * kernel_ops.kernel_fn(d2, kind, alpha)
+
+    def step(carry, i):
+        dres, Lk = carry
+        j = jnp.argmax(dres)
+        c = col(j)
+        lj = Lk[j, :]  # (rank,) — zeros beyond step i
+        ci = c - jnp.matmul(Lk, lj[:, None], precision=_HI)[:, 0]
+        piv = jnp.sqrt(jnp.maximum(dres[j], 1e-12))
+        li = ci / piv
+        li = li.at[j].set(piv)  # exact by construction; guards fp noise
+        Lk = Lk.at[:, i].set(li)
+        dres = jnp.maximum(dres - li * li, 0.0)
+        dres = dres.at[j].set(0.0)
+        return (dres, Lk), None
+
+    Lk0 = jnp.zeros((n, rank), X.dtype)
+    (dres, Lk), _ = jax.lax.scan(step, (diag0, Lk0), jnp.arange(rank))
+    return Lk, jnp.sum(dres)
+
+
+def make_pivoted_precond(params, X, rank, kind="rbf", jitter=1e-6):
+    """P^-1 apply for P = Lk Lk^T + s2 I via Woodbury (s2 = noise+jitter).
+
+    P^-1 r = (r - Lk (s2 I_k + Lk^T Lk)^-1 Lk^T r) / s2 — a rank-k solve
+    per CG iteration (k x k Cholesky precomputed once).
+    """
+    from cugp_tpu.ops import cholesky as chol_ops
+    from cugp_tpu.ops import trsm as trsm_ops
+
+    sf2 = jnp.exp(params["log_signal_var"])
+    s2 = jnp.exp(params["log_noise_var"]) + jitter * sf2
+    Lk, _resid = pivoted_cholesky(params, X, rank, kind=kind)
+    G = s2 * jnp.eye(rank, dtype=X.dtype) + jnp.matmul(
+        Lk.mT, Lk, precision=_HI)
+    Lg = chol_ops.cholesky(G, method="xla")
+
+    def apply_p(r):
+        t = jnp.matmul(Lk.mT, r, precision=_HI)          # (k, rhs)
+        t = trsm_ops.cho_solve(Lg, t, method="xla")
+        return (r - jnp.matmul(Lk, t, precision=_HI)) / s2
+
+    return apply_p
+
+
 def cg_solve(matvec, b, tol=1e-6, max_iters=1000, precond_diag=None,
-             fixed_iters=False):
+             fixed_iters=False, precond_apply=None):
     """Batched conjugate gradients for SPD systems; b is (n,) or (n, r).
 
     precond_diag: optional (n,) Jacobi preconditioner diagonal.
+    precond_apply: optional callable r -> M^-1 r (e.g. the pivoted-
+    Cholesky preconditioner from make_pivoted_precond); takes precedence
+    over precond_diag.
     fixed_iters: run exactly max_iters via lax.scan (no data-dependent
     while_loop — deterministic schedule, and a workaround for backends
     where long while_loops are fragile). Returns (x, iterations_used).
@@ -102,6 +175,8 @@ def cg_solve(matvec, b, tol=1e-6, max_iters=1000, precond_diag=None,
     minv = (1.0 / precond_diag)[:, None] if precond_diag is not None else None
 
     def apply_m(r):
+        if precond_apply is not None:
+            return precond_apply(r)
         return r * minv if minv is not None else r
 
     bnorm = jnp.maximum(jnp.linalg.norm(b2, axis=0), 1e-30)
@@ -182,20 +257,27 @@ def slq_logdet(matvec, n, key, num_probes=16, num_steps=32):
 
 
 @partial(jax.jit, static_argnames=("kind", "jitter", "block", "tol",
-                                   "max_iters", "num_probes", "num_steps"))
+                                   "max_iters", "num_probes", "num_steps",
+                                   "precond_rank"))
 def lml_iterative(params, X, y, key=None, kind="rbf", jitter=1e-6,
                   block=4096, tol=1e-5, max_iters=500, num_probes=16,
-                  num_steps=32):
+                  num_steps=32, precond_rank=0):
     """LML via CG (quadratic term) + SLQ (logdet). Matrix-free.
 
     Stochastic in the logdet term: MC error ~ O(1/sqrt(num_probes)) —
     suitable for hyperparameter search at scales where dense Cholesky
     cannot run; use the dense path when it fits.
+    precond_rank > 0: pivoted-Cholesky preconditioned CG (the BBMM
+    recipe) — large lengthscale / small noise kernels converge in far
+    fewer iterations.
     """
     if key is None:
         key = jax.random.key(0)
     mv = make_matvec(params, X, kind=kind, jitter=jitter, block=block)
-    alpha, _ = cg_solve(mv, y, tol=tol, max_iters=max_iters)
+    pre = (make_pivoted_precond(params, X, precond_rank, kind=kind,
+                                jitter=jitter) if precond_rank else None)
+    alpha, _ = cg_solve(mv, y, tol=tol, max_iters=max_iters,
+                        precond_apply=pre)
     n = y.shape[0]
     logdet = slq_logdet(mv, n, key, num_probes=num_probes,
                         num_steps=num_steps)

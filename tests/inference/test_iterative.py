@@ -127,3 +127,51 @@ def test_matrix_free_gradients_match_dense_rq(setup):
         est = np.asarray(g[k])
         np.testing.assert_allclose(est, ref, rtol=0.15,
                                    atol=0.15 * max(1.0, np.abs(ref).max()))
+
+
+def test_pivoted_cholesky_approximates_kernel(setup):
+    """Rank-k pivoted Cholesky: Kf ~ Lk Lk^T with decreasing residual."""
+    params, X, y = setup
+    Kf = kops.cross_covariance_xla(params, X, X, "rbf")
+    resids = []
+    for rank in (8, 32):
+        Lk, resid = iterative.pivoted_cholesky(params, X, rank)
+        err = float(jnp.max(jnp.abs(
+            Kf - Lk @ Lk.T)) / jnp.max(jnp.abs(Kf)))
+        resids.append((rank, err, float(resid)))
+    (r1, e1, t1), (r2, e2, t2) = resids
+    assert e2 < e1 and t2 < t1, resids
+    assert e2 < 0.05, resids
+
+
+def test_preconditioned_cg_converges_faster(setup):
+    """The BBMM pivoted-Cholesky preconditioner must cut CG iterations on
+    an ill-conditioned kernel (long lengthscale, small noise)."""
+    params, X, y = setup
+    hard = dict(params,
+                log_lengthscale=jnp.asarray([np.log(2.0)], jnp.float32),
+                log_noise_var=jnp.asarray(np.log(1e-3), jnp.float32))
+    mv = iterative.make_matvec(hard, X, block=128)
+    x_plain, it_plain = iterative.cg_solve(mv, y, tol=1e-6, max_iters=2000)
+    pre = iterative.make_pivoted_precond(hard, X, rank=32)
+    x_pre, it_pre = iterative.cg_solve(mv, y, tol=1e-6, max_iters=2000,
+                                       precond_apply=pre)
+    # the system is too ill-conditioned for a trustworthy fp32 dense
+    # reference; correctness = the CG residual itself (fp32 floor ~1e-3
+    # at cond ~ sf2/sn2 * n); measured 62 -> 5 iterations with rank 32
+    rel = float(jnp.linalg.norm(mv(x_pre) - y) / jnp.linalg.norm(y))
+    assert rel < 1e-3, rel
+    assert int(it_pre) < int(it_plain) // 2, (int(it_pre), int(it_plain))
+
+
+def test_lml_iterative_preconditioned_matches(setup):
+    params, X, y = setup
+    import jax
+
+    v0 = float(iterative.lml_iterative(params, X, y, key=jax.random.key(1),
+                                       block=128, num_probes=32,
+                                       num_steps=32))
+    v1 = float(iterative.lml_iterative(params, X, y, key=jax.random.key(1),
+                                       block=128, num_probes=32,
+                                       num_steps=32, precond_rank=16))
+    assert abs(v0 - v1) / len(y) < 5e-3, (v0, v1)
