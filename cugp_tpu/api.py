@@ -24,7 +24,8 @@ class GP:
 
     Parameters
     ----------
-    kind: kernel family — 'rbf' | 'matern12' | 'matern32' | 'matern52'.
+    kind: kernel family — 'rbf' | 'matern12' | 'matern32' | 'matern52' |
+        'rq' | 'periodic' | 'linear'.
     jitter: diagonal jitter (times signal variance) for PD safety.
     method: ops backend — 'auto' | 'xla' | 'blocked' | 'pallas'.
     """
@@ -62,7 +63,7 @@ class GP:
 
         X, y = self._data(X, y)
         if init is None:
-            init = kernel_ops.init_params(d=X.shape[1])
+            init = kernel_ops.default_init(self.kind, d=X.shape[1])
         params, info = map_opt.fit(
             init, X, y, kind=self.kind, jitter=self.jitter, method=self.method,
             steps=steps, optimizer=optimizer, learning_rate=learning_rate,
@@ -77,7 +78,7 @@ class GP:
         if params is not None:
             self.params = {k: jnp.asarray(v, jnp.float32) for k, v in params.items()}
         elif self.params is None:
-            self.params = kernel_ops.init_params(d=self.X.shape[1])
+            self.params = kernel_ops.default_init(self.kind, d=self.X.shape[1])
         return self
 
     def log_marginal_likelihood(self, params=None):
@@ -147,7 +148,7 @@ class GP:
         from cugp_tpu.inference import sampling
 
         if init is None:
-            init = self.params or kernel_ops.init_params(d=self.X.shape[1])
+            init = self.params or kernel_ops.default_init(self.kind, d=self.X.shape[1])
         return sampling.sample_hyperparams(
             init, self.X, self.y, kind=self.kind, jitter=self.jitter,
             method=self.method, num_samples=num_samples, num_chains=num_chains,
@@ -165,7 +166,7 @@ class GP:
         from cugp_tpu.models import sgpr
 
         X, y = self._data(X, y)
-        init = self.params or kernel_ops.init_params(d=X.shape[1])
+        init = self.params or kernel_ops.default_init(self.kind, d=X.shape[1])
         params, Z, info = sgpr.fit(
             init, X, y, num_inducing=num_inducing, kind=self.kind,
             jitter=self.jitter, steps=steps, learning_rate=learning_rate,
@@ -289,7 +290,7 @@ class GP:
         from cugp_tpu.inference import vi
 
         if init is None:
-            init = self.params or kernel_ops.init_params(d=self.X.shape[1])
+            init = self.params or kernel_ops.default_init(self.kind, d=self.X.shape[1])
         return vi.fit(
             init, self.X, self.y, kind=self.kind, jitter=self.jitter,
             method=self.method, steps=steps, learning_rate=learning_rate,
@@ -329,7 +330,7 @@ class GPClassifier:
 
         X, ypm = self._data(X, y)
         if init is None:
-            init = kernel_ops.init_params(d=X.shape[1])
+            init = kernel_ops.default_init(self.kind, d=X.shape[1])
         params, info = gpc.fit(
             init, X, ypm, kind=self.kind, jitter=self.jitter,
             method=self.method, steps=steps, learning_rate=learning_rate,

@@ -51,10 +51,14 @@ def make_matvec(params, X, kind="rbf", jitter=1e-6, block=4096,
                                                       jitter=jitter)
 
         return matvec_pallas
+    if kind == "periodic":
+        params, X = kernel_ops.periodic_rbf_view(params, X)
+        kind = "rbf"
     n, d = X.shape
     ell = jnp.exp(params["log_lengthscale"])
     sf2 = jnp.exp(params["log_signal_var"])
     sn2 = jnp.exp(params["log_noise_var"])
+    extra = kernel_ops.extra_scalar(params, kind)  # rq alpha / linear bias
     diag_add = sn2 + jitter * sf2
     Xs = X / ell
     nb = -(-n // block)
@@ -67,9 +71,15 @@ def make_matvec(params, X, kind="rbf", jitter=1e-6, block=4096,
 
         def one_block(i):
             rows = jax.lax.dynamic_slice(Xp, (i * block, 0), (block, d))
-            d2 = (jnp.sum(rows**2, -1)[:, None] + jnp.sum(Xs**2, -1)[None, :]
-                  - 2.0 * jnp.dot(rows, Xs.T, precision=_HI))
-            kb = sf2 * kernel_ops.kernel_fn(jnp.maximum(d2, 0.0), kind)
+            if kind == "linear":
+                kb = sf2 * jnp.dot(rows, Xs.T, precision=_HI) + extra
+            else:
+                d2 = (jnp.sum(rows**2, -1)[:, None]
+                      + jnp.sum(Xs**2, -1)[None, :]
+                      - 2.0 * jnp.dot(rows, Xs.T, precision=_HI))
+                kb = sf2 * kernel_ops.kernel_fn(jnp.maximum(d2, 0.0), kind,
+                                                extra if kind == "rq"
+                                                else None)
             return jnp.dot(kb, v2, precision=_HI)  # (block, r)
 
         out = jax.lax.map(one_block, jnp.arange(nb))  # (nb, block, r)
@@ -99,17 +109,27 @@ def pivoted_cholesky(params, X, rank, kind="rbf"):
     Kf ~ Lk Lk^T; the approximation error is bounded by the residual
     diagonal trace (returned as the second value).
     """
+    if kind == "periodic":
+        params, X = kernel_ops.periodic_rbf_view(params, X)
+        kind = "rbf"
     n, d = X.shape
     ell = jnp.exp(params["log_lengthscale"])
     sf2 = jnp.exp(params["log_signal_var"])
     alpha = (jnp.exp(params["log_alpha"])
              if kind == "rq" and "log_alpha" in params else None)
+    bias = (jnp.exp(params["log_bias_var"])
+            if kind == "linear" and "log_bias_var" in params else 0.0)
     Xs = X / ell
     sq = jnp.sum(Xs * Xs, axis=-1)  # (n,)
-    diag0 = sf2 * jnp.ones(n, X.dtype)  # stationary: k(0) * sf2
+    if kind == "linear":
+        diag0 = sf2 * sq + bias
+    else:
+        diag0 = sf2 * jnp.ones(n, X.dtype)  # stationary: k(0) * sf2
 
     def col(j):
         xj = jax.lax.dynamic_slice(Xs, (j, 0), (1, d))  # (1, d)
+        if kind == "linear":
+            return sf2 * jnp.dot(Xs, xj[0], precision=_HI) + bias
         d2 = jnp.maximum(
             sq + jnp.sum(xj * xj) - 2.0 * jnp.dot(Xs, xj[0], precision=_HI),
             0.0)
@@ -299,21 +319,47 @@ def posterior_iterative(params, X, y, Xs, kind="rbf", jitter=1e-6,
     Ks = kernel_ops.cross_covariance_xla(params, X, Xs, kind)  # (n, m)
     mu = Ks.T @ alpha
     w, _ = cg_solve(mv, Ks, tol=tol, max_iters=max_iters)  # (n, m)
-    sf2 = jnp.exp(params["log_signal_var"])
-    var = sf2 - jnp.sum(Ks * w, axis=0)
+    var = kernel_ops.kernel_diag(params, Xs, kind) - jnp.sum(Ks * w, axis=0)
     if include_noise:
         var = var + jnp.exp(params["log_noise_var"])
     return mu, jnp.maximum(var, 0.0)
 
 
-def _dk_tile(rows, cols, ell, sf2, kind, wrt, k_dim, alpha=None):
-    """One (b, n) tile of dK/d(log theta) for stationary kernels.
+def _dk_tile(rows, cols, ell, sf2, kind, wrt, k_dim, alpha=None,
+             period=None):
+    """One (b, n) tile of dK/d(log theta).
 
     rows/cols are UNSCALED inputs; wrt in {"log_signal_var",
-    "log_lengthscale", "log_alpha"} (noise handled in closed form by the
-    caller; log_alpha is the rq mixture parameter). Derivative algebra
-    matches models.exact_gp.lml_gradients_analytic.
+    "log_lengthscale", "log_alpha", "log_period", "log_bias_var"} (noise
+    handled in closed form by the caller). alpha doubles as the linear
+    bias variance (matching the tile builders' scalar slot). Derivative
+    algebra matches models.exact_gp.lml_gradients_analytic.
     """
+    if kind == "linear":
+        rs = rows / ell
+        cs = cols / ell
+        if wrt == "log_signal_var":
+            return sf2 * jnp.dot(rs, cs.T, precision=_HI)
+        if wrt == "log_bias_var":
+            b = jnp.asarray(0.0 if alpha is None else alpha)
+            return b * jnp.ones((rows.shape[0], cols.shape[0]), rows.dtype)
+        if wrt == "log_lengthscale":
+            return -2.0 * sf2 * jnp.outer(rs[:, k_dim], cs[:, k_dim])
+        raise ValueError(f"{wrt} gradient undefined for kind='linear'")
+    if kind == "periodic":
+        if period is None:
+            raise ValueError("periodic _dk_tile needs the period vector")
+        u = jnp.pi * (rows[:, None, :] - cols[None, :, :]) / period
+        s2u = jnp.sin(u) ** 2
+        kf = sf2 * jnp.exp(-2.0 * jnp.sum(s2u / ell**2, axis=-1))
+        if wrt == "log_signal_var":
+            return kf
+        if wrt == "log_lengthscale":
+            return kf * (4.0 * s2u[..., k_dim] / ell[k_dim] ** 2)
+        if wrt == "log_period":
+            uk = u[..., k_dim]
+            return kf * (2.0 * uk * jnp.sin(2.0 * uk) / ell[k_dim] ** 2)
+        raise ValueError(f"{wrt} gradient undefined for kind='periodic'")
     rs = rows / ell
     cs = cols / ell
     d2 = (jnp.sum(rs**2, -1)[:, None] + jnp.sum(cs**2, -1)[None, :]
@@ -356,8 +402,13 @@ def make_dk_matvec(params, X, wrt, k_dim=0, kind="rbf", block=4096):
     n, d = X.shape
     ell = jnp.exp(params["log_lengthscale"])
     sf2 = jnp.exp(params["log_signal_var"])
-    alpha = (jnp.exp(params["log_alpha"])
-             if kind == "rq" and "log_alpha" in params else None)
+    if kind == "rq" and "log_alpha" in params:
+        alpha = jnp.exp(params["log_alpha"])
+    elif kind == "linear" and "log_bias_var" in params:
+        alpha = jnp.exp(params["log_bias_var"])  # bias rides the alpha slot
+    else:
+        alpha = None
+    period = (jnp.exp(params["log_period"]) if kind == "periodic" else None)
     nb = -(-n // block)
     npad = nb * block
     Xp = jnp.pad(X, ((0, npad - n), (0, 0)))
@@ -367,7 +418,7 @@ def make_dk_matvec(params, X, wrt, k_dim=0, kind="rbf", block=4096):
 
         def one_block(i):
             rows = jax.lax.dynamic_slice(Xp, (i * block, 0), (block, d))
-            dk = _dk_tile(rows, X, ell, sf2, kind, wrt, k_dim, alpha)
+            dk = _dk_tile(rows, X, ell, sf2, kind, wrt, k_dim, alpha, period)
             return jnp.dot(dk, v2, precision=_HI)
 
         out = jax.lax.map(one_block, jnp.arange(nb)).reshape(npad, -1)[:n]
@@ -423,6 +474,22 @@ def lml_value_and_grad_iterative(params, X, y, key=None, kind="rbf",
     if kind == "rq" and "log_alpha" in params:
         dmv = make_dk_matvec(params, X, "log_alpha", kind=kind, block=block)
         grads["log_alpha"] = 0.5 * (
+            jnp.dot(alpha, dmv(alpha))
+            - jnp.mean(jnp.sum(w * dmv(z), axis=0)))
+    # periodic: per-dim periods
+    if kind == "periodic":
+        g_per = []
+        for k_dim in range(d):
+            dmv = make_dk_matvec(params, X, "log_period", k_dim=k_dim,
+                                 kind=kind, block=block)
+            g_per.append(0.5 * (jnp.dot(alpha, dmv(alpha))
+                                - jnp.mean(jnp.sum(w * dmv(z), axis=0))))
+        grads["log_period"] = jnp.stack(g_per)
+    # linear: bias variance
+    if kind == "linear" and "log_bias_var" in params:
+        dmv = make_dk_matvec(params, X, "log_bias_var", kind=kind,
+                             block=block)
+        grads["log_bias_var"] = 0.5 * (
             jnp.dot(alpha, dmv(alpha))
             - jnp.mean(jnp.sum(w * dmv(z), axis=0)))
 

@@ -38,6 +38,8 @@ _BOUNDS = {
     "log_signal_var": (-8.0, 8.0),
     "log_noise_var": (-9.0, 5.0),
     "log_alpha": (-4.0, 6.0),
+    "log_period": (-6.0, 6.0),
+    "log_bias_var": (-8.0, 8.0),
 }
 
 

@@ -104,8 +104,8 @@ def posterior(params, X, y, Xs, kind="rbf", jitter=1e-6, method="auto",
     mu = jnp.einsum("nm,n->m", Ks, alpha,
                     precision=jax.lax.Precision.HIGHEST)
     V = trsm_ops.solve_lx(L, Ks, method="xla" if method == "auto" else method)
-    sf2 = jnp.exp(params["log_signal_var"])
-    var = sf2 - jnp.sum(V * V, axis=0)
+    kss = kernel_ops.kernel_diag(params, Xs, kind)
+    var = kss - jnp.sum(V * V, axis=0)
     if include_noise:
         var = var + jnp.exp(params["log_noise_var"])
     return mu, jnp.maximum(var, 0.0)
@@ -160,7 +160,7 @@ def posterior_multi(params, X, Y, Xs, kind="rbf", jitter=1e-6,
     Ks = kernel_ops.cross_covariance(params, X, Xs, kind=kind, method=method)
     mu = jnp.matmul(Ks.mT, alpha, precision=jax.lax.Precision.HIGHEST)
     V = trsm_ops.solve_lx(L, Ks, method=solve_method)
-    var = sf2 - jnp.sum(V * V, axis=0)
+    var = kernel_ops.kernel_diag(params, Xs, kind) - jnp.sum(V * V, axis=0)
     if include_noise:
         var = var + jnp.exp(params["log_noise_var"])
     return mu, jnp.maximum(var, 0.0)
@@ -231,8 +231,7 @@ def posterior_basis(params, X, y, Xs, kind="rbf", jitter=1e-6, method="auto",
                      precision=jax.lax.Precision.HIGHEST)
     solve_method = "xla" if method == "auto" else method
     V = trsm_ops.solve_lx(L, Ks, method=solve_method)
-    sf2 = jnp.exp(params["log_signal_var"])
-    var0 = sf2 - jnp.sum(V * V, axis=0)
+    var0 = kernel_ops.kernel_diag(params, Xs, kind) - jnp.sum(V * V, axis=0)
 
     H = basis_matrix(X, basis)
     Hs = basis_matrix(Xs, basis)
@@ -267,6 +266,50 @@ def lml_gradients_analytic(params, X, y, kind="rbf", jitter=1e-6, method="auto")
     ell = jnp.exp(params["log_lengthscale"])
     sf2 = jnp.exp(params["log_signal_var"])
     sn2 = jnp.exp(params["log_noise_var"])
+
+    if kind == "linear":
+        # K = sf2 (X/ell)(X'/ell)^T + b: dK/dlog sf2 = K - b (+ jitter diag),
+        # dK/dlog ell_k = -2 sf2 outer(x_k, x_k)/ell_k^2, dK/dlog b = b J.
+        Xs = X / ell
+        cross = jnp.matmul(Xs, Xs.T, precision=jax.lax.Precision.HIGHEST)
+        out = {
+            "log_signal_var": 0.5 * (sf2 * jnp.sum(W * cross)
+                                     + jitter * sf2 * jnp.trace(W)),
+            "log_noise_var": 0.5 * sn2 * jnp.trace(W),
+            "log_lengthscale": jax.vmap(
+                lambda xk: -sf2 * jnp.dot(xk, jnp.matmul(
+                    W, xk, precision=jax.lax.Precision.HIGHEST)),
+                in_axes=1)(Xs),
+        }
+        if "log_bias_var" in params:
+            b = jnp.exp(params["log_bias_var"])
+            out["log_bias_var"] = 0.5 * b * jnp.sum(W)
+        return out
+
+    if kind == "periodic":
+        # K = sf2 exp(-2 sum_d sin^2(u_d)/ell_d^2), u_d = pi delta_d / p_d:
+        # dK/dlog ell_d = K * 4 sin^2(u_d)/ell_d^2;
+        # dK/dlog p_d = K * 2 u_d sin(2 u_d) / ell_d^2.
+        p = jnp.exp(params["log_period"])
+        u = (math.pi * (X[:, None, :] - X[None, :, :]) / p)  # (n, n, d)
+        s2u = jnp.sin(u) ** 2
+        Kf = sf2 * jnp.exp(-2.0 * jnp.sum(s2u / ell**2, axis=-1))
+        g_lsf = 0.5 * (jnp.sum(W * Kf) + jitter * sf2 * jnp.trace(W))
+        g_lsn = 0.5 * sn2 * jnp.trace(W)
+        WK = W * Kf
+        g_ell = jax.vmap(
+            lambda sk, ellk: 0.5 * jnp.sum(WK * (4.0 * sk / ellk**2)),
+            in_axes=(2, 0))(s2u, ell)
+        g_per = jax.vmap(
+            lambda uk, ellk: 0.5 * jnp.sum(
+                WK * (2.0 * uk * jnp.sin(2.0 * uk) / ellk**2)),
+            in_axes=(2, 0))(u, ell)
+        return {
+            "log_lengthscale": g_ell,
+            "log_signal_var": g_lsf,
+            "log_noise_var": g_lsn,
+            "log_period": g_per,
+        }
 
     alpha = (jnp.exp(params["log_alpha"])
              if kind == "rq" and "log_alpha" in params else None)

@@ -117,8 +117,8 @@ def predict_proba(params, X, y, Xs, kind="rbf", jitter=1e-6, method="auto",
     Ks = kernel_ops.cross_covariance(params, X, Xs, kind=kind, method=method)
     mu = jnp.einsum("nm,n->m", Ks, grad, precision=_HI)
     v = trsm_ops.solve_lx(L, sw[:, None] * Ks)
-    sf2 = jnp.exp(params["log_signal_var"])
-    var = jnp.maximum(sf2 - jnp.sum(v * v, axis=0), 1e-10)
+    kss = kernel_ops.kernel_diag(params, Xs, kind)
+    var = jnp.maximum(kss - jnp.sum(v * v, axis=0), 1e-10)
     # MacKay: int sigmoid(z) N(z|mu, var) dz ~ sigmoid(mu / sqrt(1+pi/8 var))
     kappa = 1.0 / jnp.sqrt(1.0 + (math.pi / 8.0) * var)
     return jax.nn.sigmoid(kappa * mu), mu, var

@@ -66,9 +66,10 @@ def elbo(params, Z, X, y, kind="rbf", jitter=1e-6):
     out = -0.5 * n * (LOG2PI + jnp.log(sn2))
     out = out - jnp.sum(jnp.log(jnp.diagonal(LB)))      # -1/2 log|B|
     out = out - 0.5 * jnp.sum(y * y) / sn2 + 0.5 * jnp.sum(c * c)
-    # trace correction -1/(2 sn2) (tr K_nn - tr Q_nn); stationary kernels
-    # have tr(K_nn) = n*sf2, and tr(Q_nn)/sn2 = tr(A A^T)
-    out = out - 0.5 * n * sf2 / sn2 + 0.5 * jnp.sum(A * A)
+    # trace correction -1/(2 sn2) (tr K_nn - tr Q_nn), with
+    # tr(Q_nn)/sn2 = tr(A A^T); kernel_diag handles non-stationary kinds
+    tr_knn = jnp.sum(kernel_ops.kernel_diag(params, X, kind))
+    out = out - 0.5 * tr_knn / sn2 + 0.5 * jnp.sum(A * A)
     return out
 
 
@@ -86,7 +87,8 @@ def posterior(params, Z, X, y, Xs, kind="rbf", jitter=1e-6,
     tmp2 = jax.lax.linalg.triangular_solve(LB, tmp1, left_side=True,
                                            lower=True)
     mu = tmp2.mT @ c
-    var = (sf2 - jnp.sum(tmp1 * tmp1, axis=0)
+    kss = kernel_ops.kernel_diag(params, Xs, kind)
+    var = (kss - jnp.sum(tmp1 * tmp1, axis=0)
            + jnp.sum(tmp2 * tmp2, axis=0))
     if include_noise:
         var = var + sn2

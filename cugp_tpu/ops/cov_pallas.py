@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from cugp_tpu.ops.kernels import kernel_fn
+from cugp_tpu.ops.kernels import kernel_fn, extra_scalar, periodic_rbf_view
 
 # Tile sizes: (512, 512) output tiles amortize grid-step overhead
 # (2 X-tiles @ 256xD + 1 K-tile @ 256x256 fp32 = well under 16 MB for D<=512)
@@ -56,6 +56,7 @@ def _cov_kernel(scal_ref, x1_ref, x2_ref, out_ref, *, kind, square, n1, n2,
     j = pl.program_id(1)
     sf2 = scal_ref[0]
     diag_add = scal_ref[1]
+    # family-specific scalar slot: rq mixture alpha / linear bias variance
     alpha = scal_ref[2]
 
     if d_true is not None:
@@ -63,28 +64,33 @@ def _cov_kernel(scal_ref, x1_ref, x2_ref, out_ref, *, kind, square, n1, n2,
         x1 = x1_ref[:]   # (BM, 128-padded d) scaled by 1/ell
         x2t = x2_ref[:]  # (8-padded d, BN) scaled by 1/ell
         x1s = x1[:, :dp8]  # only the true-feature lanes feed the MXU
-        s1 = jnp.sum(x1 * x1, axis=-1, keepdims=True)   # zeros padded
-        s2 = jnp.sum(x2t * x2t, axis=0, keepdims=True)  # (1, BN)
         cross = jax.lax.dot_general(
             x1s, x2t,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )  # K-dim = padded d (<=32): tiny MXU contraction, no 128-padding
-        d2 = jnp.maximum(s1 + s2 - 2.0 * cross, 0.0)
+        if kind != "linear":
+            s1 = jnp.sum(x1 * x1, axis=-1, keepdims=True)   # zeros padded
+            s2 = jnp.sum(x2t * x2t, axis=0, keepdims=True)  # (1, BN)
+            d2 = jnp.maximum(s1 + s2 - 2.0 * cross, 0.0)
     else:
         x1 = x1_ref[:]  # (BM, D)
         x2 = x2_ref[:]  # (BN, D)
-        s1 = jnp.sum(x1 * x1, axis=-1, keepdims=True)  # (BM, 1)
-        s2 = jnp.sum(x2 * x2, axis=-1, keepdims=True).T  # (1, BN)
         cross = jax.lax.dot_general(
             x1, x2,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
-        d2 = jnp.maximum(s1 + s2 - 2.0 * cross, 0.0)
-    k = sf2 * kernel_fn(d2, kind, alpha)
+        if kind != "linear":
+            s1 = jnp.sum(x1 * x1, axis=-1, keepdims=True)  # (BM, 1)
+            s2 = jnp.sum(x2 * x2, axis=-1, keepdims=True).T  # (1, BN)
+            d2 = jnp.maximum(s1 + s2 - 2.0 * cross, 0.0)
+    if kind == "linear":
+        k = sf2 * cross + alpha  # dot-product kernel; alpha slot = bias var
+    else:
+        k = sf2 * kernel_fn(d2, kind, alpha)
 
     row = i * _BM + jax.lax.broadcasted_iota(jnp.int32, (_BM, _BN), 0)
     col = j * _BN + jax.lax.broadcasted_iota(jnp.int32, (_BM, _BN), 1)
@@ -170,6 +176,9 @@ def cross_covariance_pallas(params, X1, X2, kind="rbf", n1_true=None):
     n1_true: rows of X1 at or beyond it are zero-padded training points —
     their output rows are masked to 0 (padding contract, see module doc).
     """
+    if kind == "periodic":
+        params, X1, X2 = periodic_rbf_view(params, X1, X2)
+        kind = "rbf"
     n1, n2 = X1.shape[0], X2.shape[0]
     if n1_true is not None:
         n1 = min(n1, n1_true)
@@ -178,9 +187,7 @@ def cross_covariance_pallas(params, X1, X2, kind="rbf", n1_true=None):
     xs1 = _prep(params, X1, _BM)
     xs2 = _prep(params, X2, _BN, transpose=d_true is not None)
     sf2 = jnp.exp(params["log_signal_var"]).astype(jnp.float32)
-    alpha = (jnp.exp(params["log_alpha"]).astype(jnp.float32)
-             if kind == "rq" and "log_alpha" in params else jnp.float32(1.0))
-    scalars = jnp.stack([sf2, jnp.float32(0.0), alpha])
+    scalars = jnp.stack([sf2, jnp.float32(0.0), extra_scalar(params, kind)])
     K = _cov_pallas(xs1, xs2, scalars, kind, False, n1, n2, d_true, _interp())
     return K[:X1.shape[0], :n2]
 
@@ -194,6 +201,9 @@ def train_covariance_pallas(params, X, kind="rbf", jitter=1e-6, pad_to=None,
     n_true: if X itself carries zero-padded rows at the end, rows/cols at
     or beyond n_true become the identity block (same contract).
     """
+    if kind == "periodic":
+        params, X = periodic_rbf_view(params, X)
+        kind = "rbf"
     n, d = X.shape
     nt = n if n_true is None else min(n, n_true)
     d_true = d if d <= _SMALL_D else None
@@ -202,9 +212,8 @@ def train_covariance_pallas(params, X, kind="rbf", jitter=1e-6, pad_to=None,
     xs2 = _prep(params, X, rows_to, transpose=d_true is not None)
     sf2 = jnp.exp(params["log_signal_var"]).astype(jnp.float32)
     sn2 = jnp.exp(params["log_noise_var"]).astype(jnp.float32)
-    alpha = (jnp.exp(params["log_alpha"]).astype(jnp.float32)
-             if kind == "rq" and "log_alpha" in params else jnp.float32(1.0))
-    scalars = jnp.stack([sf2, sn2 + jitter * sf2, alpha])
+    scalars = jnp.stack([sf2, sn2 + jitter * sf2,
+                         extra_scalar(params, kind)])
     K = _cov_pallas(xs, xs2, scalars, kind, True, nt, nt, d_true, _interp())
     if pad_to:
         return K[:pad_to, :pad_to]
@@ -229,14 +238,17 @@ def _cov_matvec_kernel(scal_ref, x1_ref, x2_ref, v_ref, out_ref, *, kind,
     dp8 = -(-d_true // 8) * 8
     x1 = x1_ref[:]
     x2t = x2_ref[:]
-    s1 = jnp.sum(x1 * x1, axis=-1, keepdims=True)
-    s2 = jnp.sum(x2t * x2t, axis=0, keepdims=True)
     cross = jax.lax.dot_general(
         x1[:, :dp8], x2t, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST)
-    d2 = jnp.maximum(s1 + s2 - 2.0 * cross, 0.0)
-    k = sf2 * kernel_fn(d2, kind, alpha)
+    if kind == "linear":
+        k = sf2 * cross + alpha  # dot-product kernel; alpha slot = bias var
+    else:
+        s1 = jnp.sum(x1 * x1, axis=-1, keepdims=True)
+        s2 = jnp.sum(x2t * x2t, axis=0, keepdims=True)
+        d2 = jnp.maximum(s1 + s2 - 2.0 * cross, 0.0)
+        k = sf2 * kernel_fn(d2, kind, alpha)
 
     row = i * _BM + jax.lax.broadcasted_iota(jnp.int32, (_BM, _BN), 0)
     col = j * _BN + jax.lax.broadcasted_iota(jnp.int32, (_BM, _BN), 1)
@@ -297,9 +309,13 @@ def train_cov_matvec_pallas(params, X, v, kind="rbf", jitter=1e-6):
     v: (n,) or (n, r) with small r (CG/Lanczos probes). Requires
     d <= _SMALL_D (the GP regime); falls back upstream otherwise.
     """
+    if kind == "periodic":
+        params, X = periodic_rbf_view(params, X)
+        kind = "rbf"
     n, d = X.shape
     if d > _SMALL_D:
-        raise ValueError(f"fused matvec supports d<={_SMALL_D}, got {d}")
+        raise ValueError(f"fused matvec supports d<={_SMALL_D}, got {d}"
+                         " (periodic doubles d via the cos/sin embedding)")
     vec = v.ndim == 1
     v2 = v[:, None] if vec else v
     r = v2.shape[1]
@@ -311,9 +327,8 @@ def train_cov_matvec_pallas(params, X, v, kind="rbf", jitter=1e-6):
                  ((0, npad - n), (0, rpad - r)))
     sf2 = jnp.exp(params["log_signal_var"]).astype(jnp.float32)
     sn2 = jnp.exp(params["log_noise_var"]).astype(jnp.float32)
-    alpha = (jnp.exp(params["log_alpha"]).astype(jnp.float32)
-             if kind == "rq" and "log_alpha" in params else jnp.float32(1.0))
-    scalars = jnp.stack([sf2, sn2 + jitter * sf2, alpha])
+    scalars = jnp.stack([sf2, sn2 + jitter * sf2,
+                         extra_scalar(params, kind)])
     out = _cov_matvec_call(xs1, xs2t, vp, scalars, kind, n, d, _interp())
     out = out[:n, :r]
     return out[:, 0] if vec else out

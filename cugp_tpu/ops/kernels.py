@@ -24,10 +24,18 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-SUPPORTED_KERNELS = ("rbf", "matern12", "matern32", "matern52", "rq")
+SUPPORTED_KERNELS = ("rbf", "matern12", "matern32", "matern52", "rq",
+                     "periodic", "linear")
+
+# Stationary families expressible as f(scaled squared distance) — these go
+# through kernel_fn(). "periodic" reduces to rbf on the cos/sin feature map
+# (periodic_rbf_view below); "linear" is a plain MXU GEMM (dot-product
+# kernel) and dispatches separately.
+STATIONARY_KERNELS = ("rbf", "matern12", "matern32", "matern52", "rq")
 
 _SQRT3 = math.sqrt(3.0)
 _SQRT5 = math.sqrt(5.0)
+_TWO_PI = 2.0 * math.pi
 
 # Minimum squared distance used before sqrt for Matern kernels: keeps the
 # gradient of sqrt finite at r=0 (the true derivative contribution there is
@@ -59,6 +67,59 @@ def kernel_fn(d2, kind, alpha=None):
     raise ValueError(f"unknown kernel kind: {kind}")
 
 
+def periodic_features(X, log_period):
+    """cos/sin embedding phi(x) = [cos(2 pi x/p), sin(2 pi x/p)] per dim.
+
+    ||phi_d(x) - phi_d(x')||^2 = 4 sin^2(pi (x_d - x'_d)/p_d), so the
+    exp-sine-squared (periodic, GPML eq. 4.31) kernel
+    exp(-2 sum_d sin^2(pi delta_d/p_d)/ell_d^2) is EXACTLY the RBF kernel
+    on phi(X) with each lengthscale duplicated across its cos/sin pair —
+    the whole MXU distance-expansion machinery (XLA and Pallas tiers)
+    serves the periodic family through this map unchanged.
+    """
+    p = jnp.exp(log_period)
+    ang = _TWO_PI * X / p
+    return jnp.concatenate([jnp.cos(ang), jnp.sin(ang)], axis=-1)
+
+
+def periodic_rbf_view(params, *Xs):
+    """(params', phi(X)...) such that rbf on them == periodic on inputs."""
+    ll = params["log_lengthscale"]
+    p2 = {k: v for k, v in params.items() if k != "log_period"}
+    p2["log_lengthscale"] = jnp.concatenate([ll, ll])
+    feats = tuple(periodic_features(X, params["log_period"]) for X in Xs)
+    return (p2,) + feats
+
+
+def extra_scalar(params, kind):
+    """The family-specific scalar for the tile builders' SMEM slot:
+    rq mixture alpha, linear bias variance, else 1.0 (unused)."""
+    if kind == "rq" and "log_alpha" in params:
+        return jnp.exp(params["log_alpha"]).astype(jnp.float32)
+    if kind == "linear":
+        return (jnp.exp(params["log_bias_var"]).astype(jnp.float32)
+                if "log_bias_var" in params else jnp.float32(0.0))
+    return jnp.float32(1.0)
+
+
+def kernel_diag(params, X, kind="rbf"):
+    """Prior variance diag k(x, x) at the inputs (no noise).
+
+    Stationary families (incl. periodic): constant sf2. Linear:
+    sf2 * sum_d x_d^2/ell_d^2 + bias — posterior-variance code must use
+    this, never the bare sf2 (non-stationarity).
+    """
+    sf2 = jnp.exp(params["log_signal_var"])
+    n = X.shape[0]
+    if kind == "linear":
+        ell = jnp.exp(params["log_lengthscale"])
+        Xs = X / ell
+        bias = (jnp.exp(params["log_bias_var"])
+                if "log_bias_var" in params else 0.0)
+        return sf2 * jnp.sum(Xs * Xs, axis=-1) + bias
+    return sf2 * jnp.ones((n,), X.dtype)
+
+
 def scaled_sqdist(X1, X2, lengthscale):
     """Pairwise squared distance after per-dim scaling; cross term rides the MXU."""
     X1 = X1 / lengthscale
@@ -77,12 +138,23 @@ def cross_covariance_xla(params, X1, X2, kind="rbf", n_true=None):
     n_true: if X1 is zero-padded beyond row n_true, those rows are masked
     to 0 so padded training points do not leak into posterior algebra.
     """
+    if kind == "periodic":
+        params, X1, X2 = periodic_rbf_view(params, X1, X2)
+        kind = "rbf"
     ell = jnp.exp(params["log_lengthscale"])
     sf2 = jnp.exp(params["log_signal_var"])
-    d2 = scaled_sqdist(X1, X2, ell)
-    alpha = (jnp.exp(params["log_alpha"])
-             if kind == "rq" and "log_alpha" in params else None)
-    K = sf2 * kernel_fn(d2, kind, alpha)
+    if kind == "linear":
+        cross = jnp.dot(X1 / ell, (X2 / ell).T,
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+        bias = (jnp.exp(params["log_bias_var"])
+                if "log_bias_var" in params else 0.0)
+        K = sf2 * cross + bias
+    else:
+        d2 = scaled_sqdist(X1, X2, ell)
+        alpha = (jnp.exp(params["log_alpha"])
+                 if kind == "rq" and "log_alpha" in params else None)
+        K = sf2 * kernel_fn(d2, kind, alpha)
     if n_true is not None and n_true < X1.shape[0]:
         rows = jnp.arange(X1.shape[0])[:, None]
         K = jnp.where(rows >= n_true, 0.0, K)
@@ -196,10 +268,12 @@ def _use_pallas(n1, n2):
 
 
 def init_params(d=1, lengthscale=1.0, signal_var=1.0, noise_var=0.1,
-                alpha=None, dtype=jnp.float32):
+                alpha=None, period=None, bias_var=None, dtype=jnp.float32):
     """Convenience constructor for the log-space hyperparameter dict.
 
     alpha: include a rational-quadratic mixture parameter (kind="rq").
+    period: include per-dim periods (kind="periodic").
+    bias_var: include a bias/offset variance (kind="linear").
     """
     p = {
         "log_lengthscale": jnp.full((d,), math.log(lengthscale), dtype=dtype),
@@ -208,4 +282,21 @@ def init_params(d=1, lengthscale=1.0, signal_var=1.0, noise_var=0.1,
     }
     if alpha is not None:
         p["log_alpha"] = jnp.asarray(math.log(alpha), dtype=dtype)
+    if period is not None:
+        p["log_period"] = jnp.full((d,), math.log(period), dtype=dtype)
+    if bias_var is not None:
+        p["log_bias_var"] = jnp.asarray(math.log(bias_var), dtype=dtype)
     return p
+
+
+def default_init(kind, d=1, **kw):
+    """Family-aware init_params: includes the extra hyperparameter the
+    family carries (rq mixture alpha, periodic per-dim period, linear bias
+    variance) so MAP/HMC/VI learn it by default."""
+    if kind == "rq":
+        kw.setdefault("alpha", 1.0)
+    elif kind == "periodic":
+        kw.setdefault("period", 1.0)
+    elif kind == "linear":
+        kw.setdefault("bias_var", 1.0)
+    return init_params(d=d, **kw)

@@ -16,7 +16,8 @@ from scipy import linalg as sla
 
 LOG2PI = float(np.log(2.0 * np.pi))
 
-SUPPORTED_KERNELS = ("rbf", "matern12", "matern32", "matern52", "rq")
+SUPPORTED_KERNELS = ("rbf", "matern12", "matern32", "matern52", "rq",
+                     "periodic", "linear")
 
 
 def _as_params(params):
@@ -58,10 +59,36 @@ def kernel_matrix(params, X1, X2, kind="rbf"):
     p = _as_params(params)
     ell = np.exp(p["log_lengthscale"])
     sf2 = np.exp(p["log_signal_var"])
+    if kind == "periodic":
+        # Direct exp-sine-squared form (GPML eq. 4.31, per-dim ARD):
+        # independent of the JAX tier's cos/sin-embedding identity.
+        per = np.exp(p["log_period"])
+        X1 = np.asarray(X1, np.float64)
+        X2 = np.asarray(X2, np.float64)
+        s2 = np.sin(np.pi * (X1[:, None, :] - X2[None, :, :]) / per) ** 2
+        return sf2 * np.exp(-2.0 * np.sum(s2 / ell**2, axis=-1))
+    if kind == "linear":
+        X1 = np.asarray(X1, np.float64) / ell
+        X2 = np.asarray(X2, np.float64) / ell
+        bias = np.exp(p["log_bias_var"]) if "log_bias_var" in p else 0.0
+        return sf2 * (X1 @ X2.T) + bias
     d2 = scaled_sqdist(X1, X2, ell)
     alpha = (np.exp(p["log_alpha"]) if kind == "rq" and "log_alpha" in p
              else None)
     return sf2 * kernel_fn(d2, kind, alpha)
+
+
+def kernel_diag(params, X, kind="rbf"):
+    """Prior variance diag k(x, x) (no noise); see kernels.kernel_diag."""
+    p = _as_params(params)
+    sf2 = np.exp(p["log_signal_var"])
+    n = np.asarray(X).shape[0]
+    if kind == "linear":
+        ell = np.exp(p["log_lengthscale"])
+        Xs = np.asarray(X, np.float64) / ell
+        bias = np.exp(p["log_bias_var"]) if "log_bias_var" in p else 0.0
+        return sf2 * np.sum(Xs * Xs, axis=-1) + bias
+    return sf2 * np.ones(n)
 
 
 def train_covariance(params, X, kind="rbf", jitter=1e-6):
@@ -101,8 +128,7 @@ def posterior(params, X, y, Xs, kind="rbf", jitter=1e-6, include_noise=False):
     Ks = kernel_matrix(p, X, Xs, kind)  # (N, M)
     mu = Ks.T @ alpha
     V = sla.solve_triangular(L, Ks, lower=True)  # (N, M)
-    sf2 = np.exp(p["log_signal_var"])
-    var = sf2 - np.sum(V * V, axis=0)
+    var = kernel_diag(p, Xs, kind) - np.sum(V * V, axis=0)
     if include_noise:
         var = var + np.exp(p["log_noise_var"])
     return mu, np.maximum(var, 0.0)
@@ -150,8 +176,7 @@ def posterior_basis(params, X, y, Xs, kind="rbf", jitter=1e-6,
     Ks = kernel_matrix(p, X, Xs, kind)
     mu0 = Ks.T @ alpha
     V = sla.solve_triangular(L, Ks, lower=True)
-    sf2 = float(np.exp(p["log_signal_var"]))
-    var0 = sf2 - np.sum(V * V, axis=0)
+    var0 = kernel_diag(p, Xs, kind) - np.sum(V * V, axis=0)
     H = _basis_matrix(X, basis)
     Hs = _basis_matrix(Xs, basis)
     KinvHt = sla.cho_solve((L, True), H.T)
@@ -184,6 +209,43 @@ def lml_gradients(params, X, y, kind="rbf", jitter=1e-6):
     L, alpha = _chol_factor(p, X, y, kind, jitter)
     Kinv = sla.cho_solve((L, True), np.eye(n))
     W = np.outer(alpha, alpha) - Kinv  # (alpha alpha^T - K^{-1})
+
+    if kind == "linear":
+        Xs = X / ell
+        cross = Xs @ Xs.T
+        g_ell = np.array([-sf2 * float(Xs[:, k] @ (W @ Xs[:, k]))
+                          for k in range(ell.shape[0])])
+        out = {
+            "log_lengthscale": g_ell,
+            "log_signal_var": np.asarray(
+                0.5 * (sf2 * np.sum(W * cross)
+                       + jitter * sf2 * np.trace(W))),
+            "log_noise_var": np.asarray(0.5 * sn2 * np.trace(W)),
+        }
+        if "log_bias_var" in p:
+            b = np.exp(p["log_bias_var"])
+            out["log_bias_var"] = np.asarray(0.5 * b * np.sum(W))
+        return out
+
+    if kind == "periodic":
+        per = np.exp(p["log_period"])
+        u = np.pi * (X[:, None, :] - X[None, :, :]) / per  # (n, n, d)
+        s2u = np.sin(u) ** 2
+        Kf = sf2 * np.exp(-2.0 * np.sum(s2u / ell**2, axis=-1))
+        WK = W * Kf
+        g_ell = np.array([0.5 * np.sum(WK * 4.0 * s2u[..., k] / ell[k] ** 2)
+                          for k in range(ell.shape[0])])
+        g_per = np.array([
+            0.5 * np.sum(WK * 2.0 * u[..., k] * np.sin(2.0 * u[..., k])
+                         / ell[k] ** 2)
+            for k in range(ell.shape[0])])
+        return {
+            "log_lengthscale": g_ell,
+            "log_signal_var": np.asarray(
+                0.5 * (np.sum(W * Kf) + jitter * sf2 * np.trace(W))),
+            "log_noise_var": np.asarray(0.5 * sn2 * np.trace(W)),
+            "log_period": g_per,
+        }
 
     alpha = (np.exp(p["log_alpha"]) if kind == "rq" and "log_alpha" in p
              else None)

@@ -10,6 +10,7 @@ from __future__ import annotations
 import numpy as np
 from scipy import linalg as sla
 
+from cugp_tpu.oracle import exact_gp_np
 from cugp_tpu.oracle.exact_gp_np import kernel_matrix, train_covariance
 
 
@@ -70,7 +71,7 @@ def predict_proba(params, X, y, Xs, kind="rbf", jitter=1e-6, num_newton=50):
     Ks = kernel_matrix(params, X, Xs, kind)
     mu = Ks.T @ grad
     v = sla.solve_triangular(L, sw[:, None] * Ks, lower=True)
-    sf2 = float(np.exp(np.asarray(params["log_signal_var"], np.float64)))
-    var = np.maximum(sf2 - np.sum(v * v, axis=0), 1e-10)
+    var = np.maximum(exact_gp_np.kernel_diag(params, Xs, kind)
+                     - np.sum(v * v, axis=0), 1e-10)
     kappa = 1.0 / np.sqrt(1.0 + (np.pi / 8.0) * var)
     return _sigmoid(kappa * mu), mu, var

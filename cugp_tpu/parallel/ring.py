@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 from jax import shard_map
 
-from cugp_tpu.ops.kernels import kernel_fn
+from cugp_tpu.ops.kernels import kernel_fn, extra_scalar, periodic_rbf_view
 
 
 def _ring_body(x_loc, *, kind, axis, sf2_c, diag_add_c, alpha_c):
@@ -34,13 +34,16 @@ def _ring_body(x_loc, *, kind, axis, sf2_c, diag_add_c, alpha_c):
     def step(s, carry):
         k_loc, x_rot = carry
         src = (me - s) % R  # origin shard of what we currently hold
-        s1 = jnp.sum(x_loc * x_loc, axis=-1, keepdims=True)
-        s2 = jnp.sum(x_rot * x_rot, axis=-1, keepdims=True).T
         cross = jnp.dot(x_loc, x_rot.T,
                         preferred_element_type=jnp.float32,
                         precision=jax.lax.Precision.HIGHEST)
-        d2 = jnp.maximum(s1 + s2 - 2.0 * cross, 0.0)
-        blk = sf2_c * kernel_fn(d2, kind, alpha_c)
+        if kind == "linear":
+            blk = sf2_c * cross + alpha_c  # alpha slot = bias variance
+        else:
+            s1 = jnp.sum(x_loc * x_loc, axis=-1, keepdims=True)
+            s2 = jnp.sum(x_rot * x_rot, axis=-1, keepdims=True).T
+            d2 = jnp.maximum(s1 + s2 - 2.0 * cross, 0.0)
+            blk = sf2_c * kernel_fn(d2, kind, alpha_c)
         col_off = src * n_loc
         cols_idx = col_off + jnp.arange(n_loc)[None, :]
         blk = blk + jnp.where(rows_idx == cols_idx, diag_add_c, 0.0)
@@ -65,11 +68,15 @@ def ring_train_covariance(params, X, mesh, kind="rbf", jitter=1e-6,
     X: (n, d) with n divisible by the size of mesh axis `axis` (a name or
     a tuple of names — e.g. ("r", "c") rings over all chips row-major).
     """
+    if kind == "periodic":
+        # cos/sin embedding is pointwise per row, so it commutes with the
+        # row sharding; the ring then builds the equivalent rbf covariance.
+        params, X = periodic_rbf_view(params, X)
+        kind = "rbf"
     ell = jnp.exp(params["log_lengthscale"]).astype(jnp.float32)
     sf2 = jnp.exp(params["log_signal_var"]).astype(jnp.float32)
     sn2 = jnp.exp(params["log_noise_var"]).astype(jnp.float32)
-    alpha = (jnp.exp(params["log_alpha"]).astype(jnp.float32)
-             if kind == "rq" and "log_alpha" in params else jnp.float32(1.0))
+    alpha = extra_scalar(params, kind)
     xs = (X / ell).astype(jnp.float32)
 
     # scalars enter the body as 0-d residuals via closure-free operands:

@@ -14,7 +14,7 @@ from typing import Optional, Tuple
 
 @dataclasses.dataclass
 class ModelConfig:
-    kind: str = "rbf"            # rbf | matern12 | matern32 | matern52 | rq
+    kind: str = "rbf"   # rbf | matern12 | matern32 | matern52 | rq | periodic | linear
     jitter: float = 1e-6
     method: str = "auto"         # auto | xla | blocked | pallas
     basis: str = ""              # "" (zero mean) | constant | linear

@@ -95,6 +95,24 @@ def test_ring_covariance_rq_matches_xla(mesh2d, rng):
                                atol=1e-6)
 
 
+def test_ring_covariance_periodic_linear(mesh2d, rng):
+    """Round-2 families through the ring builder (warp commutes with the
+    row sharding; linear rides the cross term with the bias scalar)."""
+    from cugp_tpu.parallel import ring
+    from cugp_tpu.ops import kernels as kops
+
+    n, d = 256, 2
+    X = jnp.asarray(rng.uniform(-2, 2, size=(n, d)), jnp.float32)
+    for kind, kw in [("periodic", dict(period=1.4)),
+                     ("linear", dict(bias_var=0.5))]:
+        p = kops.init_params(d=d, lengthscale=1.1, noise_var=0.05, **kw)
+        K_ref = kops.train_covariance_xla(p, X, kind=kind, jitter=1e-6)
+        K = ring.ring_train_covariance(p, X, mesh2d, kind=kind, jitter=1e-6,
+                                       axis="r")
+        np.testing.assert_allclose(np.asarray(K), np.asarray(K_ref),
+                                   rtol=1e-5, atol=1e-6, err_msg=kind)
+
+
 def test_distributed_lml_matches_single_device(mesh2d, rng):
     from cugp_tpu.parallel import distributed_chol
     from cugp_tpu.models import exact_gp
