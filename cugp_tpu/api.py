@@ -349,3 +349,90 @@ class GPClassifier:
 
     def predict(self, Xs):
         return jnp.where(self.predict_proba(Xs) > 0.5, 1, -1)
+
+
+@dataclasses.dataclass
+class SVGP:
+    """Stochastic variational GP (models/svgp): minibatch SGD on the
+    uncollapsed inducing-point bound — scales past both the exact model
+    (O(n^3)) and SGPR (full K_mn per step), and supports non-Gaussian
+    likelihoods.
+
+    likelihood: 'gaussian' (regression) | 'bernoulli' (classification,
+    labels mapped to {-1, +1}).
+    """
+
+    kind: str = "rbf"
+    jitter: float = 1e-6
+    likelihood: str = "gaussian"
+    params: Optional[dict] = None
+    Z: Optional[Any] = None
+    vp: Optional[dict] = None
+
+    def __post_init__(self):
+        from cugp_tpu.models import svgp as svgp_mod
+
+        if self.kind not in kernel_ops.SUPPORTED_KERNELS:
+            raise ValueError(
+                f"unknown kernel kind {self.kind!r}; supported: "
+                f"{kernel_ops.SUPPORTED_KERNELS}")
+        if self.likelihood not in svgp_mod.LIKELIHOODS:
+            raise ValueError(
+                f"unknown likelihood {self.likelihood!r}; supported: "
+                f"{svgp_mod.LIKELIHOODS}")
+
+    def _encode(self, y):
+        if self.likelihood != "bernoulli":
+            return jnp.asarray(y, jnp.float32), None
+        y = np.asarray(y)
+        classes = np.unique(y)
+        if classes.shape[0] != 2:
+            raise ValueError(f"need exactly 2 classes, got {classes}")
+        return jnp.asarray(np.where(y == classes[1], 1.0, -1.0)
+                           .astype(np.float32)), classes
+
+    def fit(self, X, y, *, num_inducing=256, steps=2000, batch=256,
+            learning_rate=0.01, optimize_inducing=True, init=None, seed=0):
+        from cugp_tpu.models import svgp as svgp_mod
+
+        X = jnp.asarray(X, jnp.float32)
+        y, self._classes = self._encode(y)
+        if init is None:
+            init = kernel_ops.default_init(self.kind, d=X.shape[1])
+        self.params, self.Z, self.vp, info = svgp_mod.fit(
+            init, X, y, num_inducing=num_inducing, kind=self.kind,
+            jitter=self.jitter, likelihood=self.likelihood, steps=steps,
+            batch=batch, learning_rate=learning_rate,
+            optimize_inducing=optimize_inducing, seed=seed)
+        return info
+
+    def predict(self, Xs, *, include_noise=False):
+        """Predictive mean/variance (gaussian) or hard labels (bernoulli)."""
+        from cugp_tpu.models import svgp as svgp_mod
+
+        Xs = jnp.asarray(Xs, jnp.float32)
+        if self.likelihood == "bernoulli":
+            return jnp.where(self.predict_proba(Xs) > 0.5, 1, -1)
+        return svgp_mod.posterior(self.params, self.Z, self.vp, Xs,
+                                  kind=self.kind, jitter=self.jitter,
+                                  include_noise=include_noise)
+
+    def predict_proba(self, Xs):
+        from cugp_tpu.models import svgp as svgp_mod
+
+        if self.likelihood != "bernoulli":
+            raise ValueError("predict_proba needs likelihood='bernoulli'")
+        p, _, _ = svgp_mod.predict_proba(
+            self.params, self.Z, self.vp, jnp.asarray(Xs, jnp.float32),
+            kind=self.kind, jitter=self.jitter)
+        return p
+
+    def elbo(self, X, y):
+        """Full-batch bound at the fitted state (diagnostic)."""
+        from cugp_tpu.models import svgp as svgp_mod
+
+        X = jnp.asarray(X, jnp.float32)
+        y, _ = self._encode(y)
+        return svgp_mod.elbo(self.params, self.Z, self.vp, X, y,
+                             kind=self.kind, jitter=self.jitter,
+                             likelihood=self.likelihood)

@@ -7,6 +7,7 @@ Usage:
   python -m cugp_tpu.cli classify [--data.n=400 ...]   (Laplace GPC)
   python -m cugp_tpu.cli vi      [...]
   python -m cugp_tpu.cli sgpr    [--data.n=20000 ...]
+  python -m cugp_tpu.cli svgp    [--svgp.likelihood=bernoulli --svgp.batch=256 ...]
   python -m cugp_tpu.cli info
 """
 
@@ -181,6 +182,44 @@ def cmd_sgpr(cfg):
     }, indent=2))
 
 
+def cmd_svgp(cfg):
+    """Stochastic variational GP: minibatch SGD on the SVGP bound.
+
+    --svgp.likelihood=gaussian trains on the configured regression
+    dataset; =bernoulli trains a classifier on two-moons."""
+    from cugp_tpu.api import SVGP
+
+    if cfg.svgp.likelihood == "bernoulli":
+        from cugp_tpu.data import synthetic
+
+        X, y = synthetic.two_moons(n=cfg.data.n, noise_std=cfg.data.noise_std,
+                                   seed=cfg.data.seed)
+    else:
+        X, y = _load_data(cfg)
+    model = SVGP(kind=cfg.model.kind, jitter=cfg.model.jitter,
+                 likelihood=cfg.svgp.likelihood)
+    t0 = time.perf_counter()
+    info = model.fit(X, y, num_inducing=min(cfg.svgp.num_inducing,
+                                            cfg.data.n // 2),
+                     steps=cfg.fit.steps, batch=cfg.svgp.batch,
+                     learning_rate=cfg.fit.learning_rate,
+                     optimize_inducing=cfg.svgp.optimize_inducing)
+    dt = time.perf_counter() - t0
+    out = {
+        "seconds": round(dt, 3),
+        "num_inducing": int(model.Z.shape[0]),
+        "elbo_batch_final": float(np.asarray(info["elbo_batch_final"])),
+    }
+    if cfg.svgp.likelihood == "bernoulli":
+        p = np.asarray(model.predict_proba(X))
+        out["train_accuracy"] = float(np.mean((p > 0.5) == (y > 0)))
+    else:
+        mu, _ = model.predict(X[:256])
+        out["train_rmse_head"] = float(np.sqrt(np.mean(
+            (np.asarray(mu) - y[:256]) ** 2)))
+    print(json.dumps(out, indent=2))
+
+
 def cmd_classify(cfg):
     """Binary GP classification (Laplace) on the two-moons dataset."""
     from cugp_tpu.api import GPClassifier
@@ -242,7 +281,7 @@ def main(argv=None):
     fn = {
         "fit": cmd_fit, "predict": cmd_predict, "sample": cmd_sample,
         "classify": cmd_classify,
-        "vi": cmd_vi, "sgpr": cmd_sgpr, "info": cmd_info,
+        "vi": cmd_vi, "sgpr": cmd_sgpr, "svgp": cmd_svgp, "info": cmd_info,
     }.get(cmd)
     if fn is None:
         print(f"unknown command: {cmd}\n{__doc__}", file=sys.stderr)

@@ -53,6 +53,14 @@ class SampleConfig:
 
 
 @dataclasses.dataclass
+class SvgpConfig:
+    num_inducing: int = 256
+    likelihood: str = "gaussian"  # gaussian | bernoulli
+    batch: int = 256
+    optimize_inducing: bool = True
+
+
+@dataclasses.dataclass
 class MeshConfig:
     n_devices: int = 0           # 0 = all visible devices
     dp: int = 1                  # data-parallel (chains) axis size
@@ -65,6 +73,7 @@ class Config:
     data: DataConfig = dataclasses.field(default_factory=DataConfig)
     fit: FitConfig = dataclasses.field(default_factory=FitConfig)
     sample: SampleConfig = dataclasses.field(default_factory=SampleConfig)
+    svgp: SvgpConfig = dataclasses.field(default_factory=SvgpConfig)
     mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
     checkpoint_dir: Optional[str] = None
     checkpoint_every: int = 0    # 0 = disabled

@@ -1,0 +1,184 @@
+"""SVGP (models/svgp): collapsed-optimum oracle, bound validity,
+minibatch unbiasedness, regression + classification end-to-end."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cugp_tpu.data import synthetic
+from cugp_tpu.models import exact_gp, sgpr, svgp
+from cugp_tpu.ops import kernels as kernel_ops
+
+
+@pytest.fixture(scope="module")
+def reg_data():
+    X, y, _ = synthetic.sinusoid_1d(n=256, noise_std=0.1, seed=3)
+    return jnp.asarray(X), jnp.asarray(y)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return kernel_ops.init_params(d=1, lengthscale=0.8, signal_var=1.2,
+                                  noise_var=0.05)
+
+
+def test_optimal_variational_collapses_to_sgpr(reg_data, params):
+    """At the closed-form optimal q(v), the uncollapsed bound must equal
+    the Titsias collapsed bound — the strongest single check of the
+    ELBO algebra (mean, variance, KL all have to be right)."""
+    X, y = reg_data
+    Z = sgpr.init_inducing(X, 48, seed=0)
+    vp = svgp.optimal_variational(params, Z, X, y)
+    uncollapsed = svgp.elbo(params, Z, vp, X, y)
+    # svgp regularizes K_mm with KMM_JITTER_FLOOR (whitened-coordinate
+    # conditioning); hand the same jitter to sgpr so both bound the same
+    # inducing model
+    collapsed = sgpr.elbo(params, Z, X, y, jitter=svgp.KMM_JITTER_FLOOR)
+    assert np.isfinite(uncollapsed)
+    np.testing.assert_allclose(uncollapsed, collapsed, rtol=2e-3, atol=0.3)
+
+
+def test_elbo_is_a_lower_bound_on_lml(reg_data, params):
+    X, y = reg_data
+    lml = exact_gp.log_marginal_likelihood(params, X, y, method="xla")
+    Z = sgpr.init_inducing(X, 48, seed=0)
+    # at the optimum and at arbitrary variational params
+    vps = [svgp.optimal_variational(params, Z, X, y),
+           svgp.init_variational(48)]
+    key = jax.random.key(0)
+    vps.append({
+        "m": 0.5 * jax.random.normal(key, (48,)),
+        "c": 0.1 * jax.random.normal(jax.random.key(1), (48 * 49 // 2,)),
+    })
+    for vp in vps:
+        b = svgp.elbo(params, Z, vp, X, y)
+        assert b <= lml + 0.5, (b, lml)
+
+
+def test_minibatch_estimator_is_unbiased(reg_data, params):
+    """E over uniform-with-replacement batches of the scaled data term
+    equals the full-batch data term (KL term is deterministic)."""
+    X, y = reg_data
+    n = X.shape[0]
+    Z = sgpr.init_inducing(X, 24, seed=1)
+    vp = svgp.optimal_variational(params, Z, X, y)
+    full = svgp.elbo(params, Z, vp, X, y)
+
+    batch, reps = 32, 400
+    keys = jax.random.split(jax.random.key(7), reps)
+
+    @jax.jit
+    def one(k):
+        idx = jax.random.randint(k, (batch,), 0, n)
+        return svgp.elbo(params, Z, vp, X[idx], y[idx], scale=n / batch)
+
+    est = jnp.mean(jax.vmap(one)(keys))
+    # standard error of the mean at these settings is ~1; 3-sigma band
+    np.testing.assert_allclose(est, full, atol=3.0)
+
+
+def test_posterior_matches_sgpr_at_optimum(reg_data, params):
+    """With the same (params, Z) and q(v) at its collapsed optimum, the
+    SVGP predictive must equal the SGPR predictive — deterministic check
+    of the whitened posterior algebra."""
+    X, y = reg_data
+    Z = sgpr.init_inducing(X, 48, seed=0)
+    vp = svgp.optimal_variational(params, Z, X, y)
+    Xs = jnp.linspace(-3.0, 3.0, 101)[:, None]
+    mu, var = svgp.posterior(params, Z, vp, Xs)
+    mu_ref, var_ref = sgpr.posterior(params, Z, X, y, Xs,
+                                     jitter=svgp.KMM_JITTER_FLOOR)
+    np.testing.assert_allclose(mu, mu_ref, atol=2e-3)
+    np.testing.assert_allclose(var, var_ref, atol=2e-3)
+
+
+def test_fit_gaussian_recovers_signal(reg_data):
+    """m=64 inducing on n=256: after a short SGD fit the predictive mean
+    recovers the underlying sinusoid on the data interior."""
+    X, y = reg_data
+    init = kernel_ops.init_params(d=1, lengthscale=1.0, signal_var=1.0,
+                                  noise_var=0.1)
+    params, Z, vp, info = svgp.fit(
+        init, X, y, num_inducing=64, steps=300, batch=128,
+        learning_rate=0.02, seed=0)
+    losses = np.asarray(info["loss"])
+    assert np.isfinite(losses).all()
+    # full-batch bound improved over the fit
+    assert losses[-1] < losses[0]
+    Xs = jnp.linspace(-2.5, 2.5, 101)[:, None]
+    mu, var = svgp.posterior(params, Z, vp, Xs)
+    assert jnp.all(var > 0.0)
+    f_true = jnp.sin(3.0 * Xs[:, 0]) + 0.5 * Xs[:, 0]
+    assert jnp.sqrt(jnp.mean((mu - f_true) ** 2)) < 0.15
+
+
+def test_fit_bernoulli_two_moons():
+    X, y = synthetic.two_moons(n=300, noise_std=0.1, seed=0)
+    init = kernel_ops.init_params(d=2, lengthscale=0.7, signal_var=3.0,
+                                  noise_var=0.1)
+    params, Z, vp, info = svgp.fit(
+        init, X, y, num_inducing=48, likelihood="bernoulli", steps=500,
+        batch=128, learning_rate=0.05, seed=0)
+    p, mu, var = svgp.predict_proba(params, Z, vp, X)
+    assert jnp.all((p >= 0.0) & (p <= 1.0))
+    acc = jnp.mean((jnp.where(p > 0.5, 1.0, -1.0) == jnp.asarray(y)))
+    assert acc > 0.9, float(acc)
+
+
+def test_gh_quadrature_matches_mc():
+    """Gauss-Hermite expected log-sigmoid vs a large MC estimate."""
+    mu = jnp.asarray([0.3, -1.2, 2.0])
+    var = jnp.asarray([0.5, 2.0, 0.1])
+    y = jnp.asarray([1.0, -1.0, 1.0])
+    gh = svgp.expected_loglik(y, mu, var, "bernoulli")
+    eps = jax.random.normal(jax.random.key(0), (200_000, 3))
+    f = mu[None] + jnp.sqrt(var)[None] * eps
+    mc = jnp.mean(jax.nn.log_sigmoid(y[None] * f), axis=0)
+    np.testing.assert_allclose(gh, mc, atol=5e-3)
+
+
+def test_likelihood_validation(reg_data):
+    X, y = reg_data
+    init = kernel_ops.init_params(d=1)
+    with pytest.raises(ValueError, match="likelihood"):
+        svgp.fit(init, X, y, likelihood="poisson", steps=1)
+
+
+def test_api_svgp_regression(reg_data):
+    from cugp_tpu.api import SVGP
+
+    X, y = reg_data
+    model = SVGP(kind="rbf")
+    info = model.fit(X, y, num_inducing=32, steps=100, batch=64,
+                     learning_rate=0.01)
+    assert np.isfinite(np.asarray(info["loss"])).all()
+    mu, var = model.predict(X[:16])
+    assert mu.shape == (16,) and bool(jnp.all(var >= 0.0))
+    assert np.isfinite(float(model.elbo(X, y)))
+
+
+def test_api_svgp_classifier_labels():
+    from cugp_tpu.api import SVGP
+
+    X, y = synthetic.two_moons(n=200, noise_std=0.1, seed=1)
+    model = SVGP(kind="rbf", likelihood="bernoulli")
+    model.fit(X, (y > 0).astype(np.int32), num_inducing=32, steps=200,
+              batch=100, learning_rate=0.05)
+    p = model.predict_proba(X)
+    labels = model.predict(X)
+    assert set(np.unique(np.asarray(labels))) <= {-1, 1}
+    acc = np.mean((np.asarray(p) > 0.5) == (y > 0))
+    assert acc > 0.85
+
+
+def test_cli_svgp(capsys):
+    from cugp_tpu.cli.__main__ import main
+
+    rc = main(["svgp", "--data.n=200", "--fit.steps=50",
+               "--svgp.num_inducing=24", "--svgp.batch=64"])
+    assert rc == 0
+    import json
+
+    out = json.loads(capsys.readouterr().out)
+    assert "elbo_batch_final" in out and np.isfinite(out["elbo_batch_final"])
