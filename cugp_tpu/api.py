@@ -359,7 +359,8 @@ class SVGP:
     likelihoods.
 
     likelihood: 'gaussian' (regression) | 'bernoulli' (classification,
-    labels mapped to {-1, +1}).
+    labels mapped to {-1, +1}) | 'poisson' (counts, log link) |
+    'student_t' (robust regression, nu=svgp.STUDENT_T_NU).
     """
 
     kind: str = "rbf"
@@ -413,6 +414,9 @@ class SVGP:
         Xs = jnp.asarray(Xs, jnp.float32)
         if self.likelihood == "bernoulli":
             return jnp.where(self.predict_proba(Xs) > 0.5, 1, -1)
+        if self.likelihood == "poisson":
+            return svgp_mod.predict_rate(self.params, self.Z, self.vp, Xs,
+                                         kind=self.kind, jitter=self.jitter)
         return svgp_mod.posterior(self.params, self.Z, self.vp, Xs,
                                   kind=self.kind, jitter=self.jitter,
                                   include_noise=include_noise)

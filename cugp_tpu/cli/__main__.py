@@ -189,11 +189,16 @@ def cmd_svgp(cfg):
     dataset; =bernoulli trains a classifier on two-moons."""
     from cugp_tpu.api import SVGP
 
-    if cfg.svgp.likelihood == "bernoulli":
-        from cugp_tpu.data import synthetic
+    from cugp_tpu.data import synthetic
 
+    if cfg.svgp.likelihood == "bernoulli":
         X, y = synthetic.two_moons(n=cfg.data.n, noise_std=cfg.data.noise_std,
                                    seed=cfg.data.seed)
+    elif cfg.svgp.likelihood == "poisson":
+        X, y, _ = synthetic.poisson_counts(n=cfg.data.n, seed=cfg.data.seed)
+    elif cfg.svgp.likelihood == "student_t":
+        X, y, _ = synthetic.sinusoid_outliers(
+            n=cfg.data.n, noise_std=cfg.data.noise_std, seed=cfg.data.seed)
     else:
         X, y = _load_data(cfg)
     model = SVGP(kind=cfg.model.kind, jitter=cfg.model.jitter,

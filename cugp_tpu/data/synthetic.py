@@ -70,6 +70,31 @@ def pad_dataset(X, y, n_padded):
     return Xp, yp
 
 
+def poisson_counts(n=500, seed=0, x_range=(-3.0, 3.0)):
+    """Count-regression dataset: log-rate f = sin(2x) + 0.5, y ~ Poisson(e^f).
+
+    Returns (X (n,1) float32, y (n,) float32 counts, rate (n,) float64).
+    """
+    rng = np.random.default_rng(seed)
+    X = np.sort(rng.uniform(x_range[0], x_range[1], size=(n, 1)), axis=0)
+    rate = np.exp(np.sin(2.0 * X[:, 0]) + 0.5)
+    y = rng.poisson(rate)
+    return X.astype(np.float32), y.astype(np.float32), rate
+
+
+def sinusoid_outliers(n=500, noise_std=0.1, outlier_frac=0.1,
+                      outlier_scale=3.0, seed=0):
+    """sinusoid_1d contaminated with heavy outliers — the robust
+    (student_t) regression testbed. Returns (X, y, f) like sinusoid_1d."""
+    X, y, f = sinusoid_1d(n=n, noise_std=noise_std, seed=seed)
+    rng = np.random.default_rng(seed + 1)
+    k = max(1, int(outlier_frac * n))
+    idx = rng.choice(n, size=k, replace=False)
+    y = y.copy()
+    y[idx] += outlier_scale * rng.standard_normal(k)
+    return X, y, f
+
+
 def two_moons(n=200, noise_std=0.15, seed=0):
     """Binary classification dataset (two interleaved half-circles).
 

@@ -52,7 +52,11 @@ _gh_x, _gh_w = np.polynomial.hermite.hermgauss(GH_POINTS)
 _GH_X = jnp.asarray(_gh_x, jnp.float32)          # nodes of int e^{-x^2}
 _GH_W = jnp.asarray(_gh_w / math.sqrt(math.pi), jnp.float32)
 
-LIKELIHOODS = ("gaussian", "bernoulli")
+LIKELIHOODS = ("gaussian", "bernoulli", "poisson", "student_t")
+
+# student_t degrees of freedom (static; heavy-tailed robust regression).
+# nu -> inf recovers the gaussian likelihood.
+STUDENT_T_NU = 4.0
 
 
 def chol_from_flat(flat, dim):
@@ -123,6 +127,22 @@ def expected_loglik(y, mu, var, likelihood, sn2=None):
         f = mu[:, None] + jnp.sqrt(2.0 * var)[:, None] * _GH_X[None, :]
         return jnp.sum(_GH_W[None, :] * jax.nn.log_sigmoid(y[:, None] * f),
                        axis=1)
+    if likelihood == "poisson":
+        # counts with log link: log p = y f - e^f - log y!, and
+        # E[e^f] = exp(mu + var/2) under q(f) — fully closed form
+        return (y * mu - jnp.exp(mu + 0.5 * var)
+                - jax.lax.lgamma(y + 1.0))
+    if likelihood == "student_t":
+        # heavy-tailed robust regression; scale^2 = sn2, nu = STUDENT_T_NU.
+        # No closed form — GH quadrature like bernoulli.
+        nu = STUDENT_T_NU
+        const = (jax.lax.lgamma(jnp.float32((nu + 1.0) / 2.0))
+                 - jax.lax.lgamma(jnp.float32(nu / 2.0))
+                 - 0.5 * jnp.log(nu * jnp.pi * sn2))
+        f = mu[:, None] + jnp.sqrt(2.0 * var)[:, None] * _GH_X[None, :]
+        r2 = (y[:, None] - f) ** 2
+        logp = const - 0.5 * (nu + 1.0) * jnp.log1p(r2 / (nu * sn2))
+        return jnp.sum(_GH_W[None, :] * logp, axis=1)
     raise ValueError(f"unknown likelihood: {likelihood}")
 
 
@@ -142,7 +162,8 @@ def elbo(params, Z, vp, X, y, kind="rbf", jitter=1e-6,
     With likelihood='gaussian', scale=1, and vp = optimal_variational(...),
     equals models/sgpr.elbo (tested)."""
     mu, var = _qf(params, Z, vp, X, kind, jitter)
-    sn2 = jnp.exp(params["log_noise_var"]) if likelihood == "gaussian" else None
+    sn2 = (jnp.exp(params["log_noise_var"])
+           if likelihood in ("gaussian", "student_t") else None)
     ell = jnp.sum(expected_loglik(y, mu, var, likelihood, sn2))
     return scale * ell - kl_whitened(vp)
 
@@ -173,6 +194,16 @@ def posterior(params, Z, vp, Xs, kind="rbf", jitter=1e-6,
     if include_noise:
         var = var + jnp.exp(params["log_noise_var"])
     return mu, var
+
+
+@partial(jax.jit, static_argnames=("kind", "jitter"))
+def predict_rate(params, Z, vp, Xs, kind="rbf", jitter=1e-6):
+    """Poisson-likelihood predictive rate: mean and variance of e^f under
+    q(f) (lognormal moments)."""
+    mu, var = _qf(params, Z, vp, Xs, kind, jitter)
+    rate = jnp.exp(mu + 0.5 * var)
+    rate_var = jnp.exp(2.0 * mu + var) * (jnp.exp(var) - 1.0)
+    return rate, rate_var
 
 
 def predict_proba(params, Z, vp, Xs, kind="rbf", jitter=1e-6):

@@ -55,7 +55,7 @@ class SampleConfig:
 @dataclasses.dataclass
 class SvgpConfig:
     num_inducing: int = 256
-    likelihood: str = "gaussian"  # gaussian | bernoulli
+    likelihood: str = "gaussian"  # gaussian | bernoulli | poisson | student_t
     batch: int = 256
     optimize_inducing: bool = True
 

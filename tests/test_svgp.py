@@ -138,11 +138,72 @@ def test_gh_quadrature_matches_mc():
     np.testing.assert_allclose(gh, mc, atol=5e-3)
 
 
+def test_poisson_expected_loglik_matches_mc():
+    """Closed-form E[y f - e^f - log y!] vs Monte Carlo."""
+    mu = jnp.asarray([0.5, -0.3, 1.5])
+    var = jnp.asarray([0.4, 1.0, 0.2])
+    y = jnp.asarray([2.0, 0.0, 5.0])
+    closed = svgp.expected_loglik(y, mu, var, "poisson")
+    eps = jax.random.normal(jax.random.key(2), (400_000, 3))
+    f = mu[None] + jnp.sqrt(var)[None] * eps
+    mc = jnp.mean(y[None] * f - jnp.exp(f)
+                  - jax.lax.lgamma(y + 1.0)[None], axis=0)
+    np.testing.assert_allclose(closed, mc, atol=2e-2)
+
+
+def test_student_t_gh_matches_mc():
+    mu = jnp.asarray([0.0, 1.0])
+    var = jnp.asarray([0.5, 1.5])
+    y = jnp.asarray([0.4, -2.0])
+    sn2 = jnp.asarray(0.09)
+    gh = svgp.expected_loglik(y, mu, var, "student_t", sn2)
+    nu = svgp.STUDENT_T_NU
+    eps = jax.random.normal(jax.random.key(3), (400_000, 2))
+    f = mu[None] + jnp.sqrt(var)[None] * eps
+    import scipy.special as sp
+
+    const = (sp.gammaln((nu + 1) / 2) - sp.gammaln(nu / 2)
+             - 0.5 * np.log(nu * np.pi * float(sn2)))
+    logp = const - 0.5 * (nu + 1) * jnp.log1p((y[None] - f) ** 2 / (nu * sn2))
+    mc = jnp.mean(logp, axis=0)
+    np.testing.assert_allclose(gh, mc, atol=2e-2)
+
+
+def test_fit_poisson_counts():
+    X, y, rate = synthetic.poisson_counts(n=400, seed=0)
+    init = kernel_ops.init_params(d=1, lengthscale=1.0, signal_var=1.0,
+                                  noise_var=0.1)
+    params, Z, vp, info = svgp.fit(
+        init, X, y, num_inducing=48, likelihood="poisson", steps=500,
+        batch=128, learning_rate=0.05, seed=0)
+    est_rate, _ = svgp.predict_rate(params, Z, vp, jnp.asarray(X))
+    # learned log-rate should track the true log-rate on the interior
+    err = jnp.abs(jnp.log(est_rate) - jnp.log(jnp.asarray(rate)))
+    assert jnp.mean(err) < 0.3, float(jnp.mean(err))
+
+
+def test_fit_student_t_is_robust_to_outliers():
+    """With 10% gross outliers, the student_t fit should track the true
+    function much better than its own error on the outlier points."""
+    X, y, f = synthetic.sinusoid_outliers(n=400, noise_std=0.1,
+                                          outlier_frac=0.1,
+                                          outlier_scale=5.0, seed=0)
+    init = kernel_ops.init_params(d=1, lengthscale=1.0, signal_var=1.0,
+                                  noise_var=0.1)
+    params, Z, vp, info = svgp.fit(
+        init, jnp.asarray(X, jnp.float32), jnp.asarray(y, jnp.float32),
+        num_inducing=48, likelihood="student_t", steps=500, batch=128,
+        learning_rate=0.02, seed=0)
+    mu, _ = svgp.posterior(params, Z, vp, jnp.asarray(X, jnp.float32))
+    rmse_f = float(jnp.sqrt(jnp.mean((mu - jnp.asarray(f)) ** 2)))
+    assert rmse_f < 0.2, rmse_f
+
+
 def test_likelihood_validation(reg_data):
     X, y = reg_data
     init = kernel_ops.init_params(d=1)
     with pytest.raises(ValueError, match="likelihood"):
-        svgp.fit(init, X, y, likelihood="poisson", steps=1)
+        svgp.fit(init, X, y, likelihood="beta", steps=1)
 
 
 def test_api_svgp_regression(reg_data):
