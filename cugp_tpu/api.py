@@ -11,11 +11,31 @@ from __future__ import annotations
 import dataclasses
 from typing import Any, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from cugp_tpu.models import exact_gp
 from cugp_tpu.ops import kernels as kernel_ops
+
+
+def _tree_struct(p):
+    """JSON-serializable shape of a params pytree (leaves -> None) —
+    recorded at save time so load can rebuild the probe treedef for any
+    param structure, including composite-kernel terms/factors nesting."""
+    if isinstance(p, dict):
+        return {k: _tree_struct(v) for k, v in p.items()}
+    if isinstance(p, (list, tuple)):
+        return [_tree_struct(v) for v in p]
+    return None
+
+
+def _probe_from_struct(s):
+    if isinstance(s, dict):
+        return {k: _probe_from_struct(v) for k, v in s.items()}
+    if isinstance(s, list):
+        return [_probe_from_struct(v) for v in s]
+    return np.zeros(())
 
 
 @dataclasses.dataclass
@@ -39,10 +59,7 @@ class GP:
     y: Optional[Any] = None
 
     def __post_init__(self):
-        if self.kind not in kernel_ops.SUPPORTED_KERNELS:
-            raise ValueError(
-                f"unknown kernel kind {self.kind!r}; supported: "
-                f"{kernel_ops.SUPPORTED_KERNELS}")
+        kernel_ops.validate_kind(self.kind)
         if self.basis not in (None, "constant", "linear"):
             raise ValueError(f"unknown basis {self.basis!r}")
 
@@ -76,7 +93,8 @@ class GP:
         """Attach data (and optionally hyperparameters) without fitting."""
         self.X, self.y = self._data(X, y)
         if params is not None:
-            self.params = {k: jnp.asarray(v, jnp.float32) for k, v in params.items()}
+            self.params = jax.tree.map(
+                lambda v: jnp.asarray(v, jnp.float32), params)
         elif self.params is None:
             self.params = kernel_ops.default_init(self.kind, d=self.X.shape[1])
         return self
@@ -244,7 +262,8 @@ class GP:
                                "y": self.y},
                         extra_json={"kind": self.kind, "jitter": self.jitter,
                                     "method": self.method,
-                                    "param_keys": sorted(self.params)})
+                                    "param_keys": sorted(self.params),
+                                    "param_struct": _tree_struct(self.params)})
 
     @classmethod
     def load(cls, path):
@@ -262,13 +281,17 @@ class GP:
         meta0 = checkpoint.peek_meta(path)
         if meta0 is None:
             raise FileNotFoundError(path)
-        keys = meta0.get("extra", {}).get("param_keys")
-        if keys is None:
-            keys = ["log_lengthscale", "log_noise_var", "log_signal_var"]
-            if meta0.get("num_leaves") == 6:
-                keys.append("log_alpha")
-        probe = {"params": {k: np.zeros(()) for k in keys},
-                 "X": np.zeros((1, 1)), "y": np.zeros(1)}
+        struct = meta0.get("extra", {}).get("param_struct")
+        if struct is not None:
+            pprobe = _probe_from_struct(struct)
+        else:
+            keys = meta0.get("extra", {}).get("param_keys")
+            if keys is None:
+                keys = ["log_lengthscale", "log_noise_var", "log_signal_var"]
+                if meta0.get("num_leaves") == 6:
+                    keys.append("log_alpha")
+            pprobe = {k: np.zeros(()) for k in keys}
+        probe = {"params": pprobe, "X": np.zeros((1, 1)), "y": np.zeros(1)}
         tree, meta = checkpoint.restore(path, probe)
         if tree is None:
             raise FileNotFoundError(path)
@@ -373,10 +396,7 @@ class SVGP:
     def __post_init__(self):
         from cugp_tpu.models import svgp as svgp_mod
 
-        if self.kind not in kernel_ops.SUPPORTED_KERNELS:
-            raise ValueError(
-                f"unknown kernel kind {self.kind!r}; supported: "
-                f"{kernel_ops.SUPPORTED_KERNELS}")
+        kernel_ops.validate_kind(self.kind)
         if self.likelihood not in svgp_mod.LIKELIHOODS:
             raise ValueError(
                 f"unknown likelihood {self.likelihood!r}; supported: "

@@ -291,6 +291,7 @@ def lml_iterative(params, X, y, key=None, kind="rbf", jitter=1e-6,
     recipe) — large lengthscale / small noise kernels converge in far
     fewer iterations.
     """
+    kernel_ops.require_base_kind(kind, "lml_iterative")
     if key is None:
         key = jax.random.key(0)
     mv = make_matvec(params, X, kind=kind, jitter=jitter, block=block)
@@ -314,6 +315,7 @@ def posterior_iterative(params, X, y, Xs, kind="rbf", jitter=1e-6,
     mean: K*^T (K^-1 y). variance: k** - diag(K*^T K^-1 K*), with one CG
     solve per test batch column (batched rhs).
     """
+    kernel_ops.require_base_kind(kind, "posterior_iterative")
     mv = make_matvec(params, X, kind=kind, jitter=jitter, block=block)
     alpha, _ = cg_solve(mv, y, tol=tol, max_iters=max_iters)
     Ks = kernel_ops.cross_covariance_xla(params, X, Xs, kind)  # (n, m)

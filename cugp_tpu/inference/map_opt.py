@@ -44,11 +44,19 @@ _BOUNDS = {
 
 
 def _clamp(params):
-    out = dict(params)
-    for k, (lo, hi) in _BOUNDS.items():
-        if k in out:
-            out[k] = jnp.clip(out[k], lo, hi)
-    return out
+    """Clip every bounded log-hyperparameter, recursing through the
+    nested terms/factors structure of composite kernels."""
+    if isinstance(params, dict):
+        out = {}
+        for k, v in params.items():
+            if k in _BOUNDS and not isinstance(v, (dict, list, tuple)):
+                out[k] = jnp.clip(v, *_BOUNDS[k])
+            else:
+                out[k] = _clamp(v)
+        return out
+    if isinstance(params, (list, tuple)):
+        return type(params)(_clamp(v) for v in params)
+    return params
 
 
 @partial(

@@ -55,7 +55,7 @@ def _factorize(params, X, y, kind, jitter, method, safe=True, n_true=None):
     K = kernel_ops.train_covariance(params, X, kind=kind, jitter=jitter,
                                     method=method, n_true=n_true)
     if safe:
-        sf2 = jnp.exp(params["log_signal_var"])
+        sf2 = kernel_ops.signal_scale(params)
         L = safe_cholesky(K, sf2, method=method, jitter0=max(jitter, 1e-6))
     else:
         L = chol_ops.cholesky(K, method=method)
@@ -136,7 +136,7 @@ def log_marginal_likelihood_multi(params, X, Y, kind="rbf", jitter=1e-6,
     """Sum of per-output LMLs for Y (n, p) under one shared kernel."""
     K = kernel_ops.train_covariance(params, X, kind=kind, jitter=jitter,
                                     method=method)
-    sf2 = jnp.exp(params["log_signal_var"])
+    sf2 = kernel_ops.signal_scale(params)
     L = safe_cholesky(K, sf2, method=method, jitter0=max(jitter, 1e-6))
     solve_method = "xla" if method == "auto" else method
     alpha = trsm_ops.cho_solve(L, Y, method=solve_method)  # (n, p)
@@ -153,7 +153,7 @@ def posterior_multi(params, X, Y, Xs, kind="rbf", jitter=1e-6,
     """Posterior means (ns, p) and shared diagonal variance (ns,)."""
     K = kernel_ops.train_covariance(params, X, kind=kind, jitter=jitter,
                                     method=method)
-    sf2 = jnp.exp(params["log_signal_var"])
+    sf2 = kernel_ops.signal_scale(params)
     L = safe_cholesky(K, sf2, method=method, jitter0=max(jitter, 1e-6))
     solve_method = "xla" if method == "auto" else method
     alpha = trsm_ops.cho_solve(L, Y, method=solve_method)
@@ -256,6 +256,7 @@ def lml_gradients_analytic(params, X, y, kind="rbf", jitter=1e-6, method="auto")
     Kept as a cross-check against jax.grad (the reference computes gradients
     this way in CUDA). Cost: one Cholesky + explicit K^{-1} (two TRSMs).
     """
+    kernel_ops.require_base_kind(kind, "lml_gradients_analytic")
     solve_method = "xla" if method == "auto" else method
     L, alpha = _factorize(params, X, y, kind, jitter, method)
     n = X.shape[0]

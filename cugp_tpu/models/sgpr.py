@@ -37,7 +37,7 @@ _HI = jax.lax.Precision.HIGHEST
 def _common(params, Z, X, y, kind, jitter):
     m = Z.shape[0]
     sn2 = jnp.exp(params["log_noise_var"])
-    sf2 = jnp.exp(params["log_signal_var"])
+    sf2 = kernel_ops.signal_scale(params)
     Kmm = kernel_ops.cross_covariance_xla(params, Z, Z, kind)
     # K_mm is noise-free and can be fp32-singular (e.g. Z dense in X);
     # escalating-jitter ladder keeps the factorization finite

@@ -96,7 +96,7 @@ def _kmm_chol(params, Z, kind, jitter):
     from cugp_tpu.models import exact_gp
 
     mm = Z.shape[0]
-    sf2 = jnp.exp(params["log_signal_var"])
+    sf2 = kernel_ops.signal_scale(params)
     Kmm = kernel_ops.cross_covariance_xla(params, Z, Z, kind)
     Kmm = Kmm + (jitter + KMM_JITTER_FLOOR) * sf2 * jnp.eye(mm, dtype=Kmm.dtype)
     return exact_gp.safe_cholesky(Kmm, sf2, method="xla", max_attempts=3,

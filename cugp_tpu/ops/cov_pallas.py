@@ -23,7 +23,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from cugp_tpu.ops.kernels import kernel_fn, extra_scalar, periodic_rbf_view
+from cugp_tpu.ops.kernels import (kernel_fn, extra_scalar,
+                                  periodic_rbf_view,
+                                  require_base_kind as _require_base_kind)
 
 # Tile sizes: (512, 512) output tiles amortize grid-step overhead
 # (2 X-tiles @ 256xD + 1 K-tile @ 256x256 fp32 = well under 16 MB for D<=512)
@@ -309,6 +311,7 @@ def train_cov_matvec_pallas(params, X, v, kind="rbf", jitter=1e-6):
     v: (n,) or (n, r) with small r (CG/Lanczos probes). Requires
     d <= _SMALL_D (the GP regime); falls back upstream otherwise.
     """
+    _require_base_kind(kind, "train_cov_matvec_pallas")
     if kind == "periodic":
         params, X = periodic_rbf_view(params, X)
         kind = "rbf"

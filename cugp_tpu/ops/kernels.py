@@ -33,6 +33,91 @@ SUPPORTED_KERNELS = ("rbf", "matern12", "matern32", "matern52", "rq",
 # kernel) and dispatches separately.
 STATIONARY_KERNELS = ("rbf", "matern12", "matern32", "matern52", "rq")
 
+
+# ---- Kernel algebra (sum-of-products composition) ----
+# kind strings compose base families with '+' and '*', e.g. the classic
+# quasi-periodic kernel "periodic*rbf+linear" (GPML section 4.2.4 kernel
+# arithmetic: sums and elementwise products of PSD kernels are PSD).
+# Composite params:
+#   {"log_noise_var": (),
+#    "terms": [{"log_signal_var": (),            # amplitude of the term
+#               "factors": [<factor dict>, ...]},# lengthscale + extras,
+#              ...]}                             #   NO signal/noise inside
+# Factor amplitudes are unidentifiable inside a product, so amplitude
+# lives at the term level. Gradients flow by AD through the combination;
+# the analytic-gradient, ring, and iterative-matvec fast paths are
+# base-family-only (AD path is the default everywhere).
+
+
+def is_composite(kind):
+    return ("+" in kind) or ("*" in kind)
+
+
+def parse_kind(kind):
+    """'a*b+c' -> (('a','b'), ('c',)). Validates every base family."""
+    terms = []
+    for term in kind.split("+"):
+        factors = tuple(f.strip() for f in term.split("*"))
+        if not all(factors):
+            raise ValueError(f"malformed composite kernel kind: {kind!r}")
+        for f in factors:
+            if f not in SUPPORTED_KERNELS:
+                raise ValueError(
+                    f"unknown kernel kind {f!r} in composite {kind!r}; "
+                    f"supported bases: {SUPPORTED_KERNELS}")
+        terms.append(factors)
+    return tuple(terms)
+
+
+def require_base_kind(kind, where):
+    """Fast paths that specialize per family (analytic gradients, ring
+    builder, iterative matvec tiles) serve base kinds only; composites go
+    through the AD/XLA route."""
+    if is_composite(kind):
+        raise NotImplementedError(
+            f"{where} supports base kernel families only, got composite "
+            f"{kind!r}; use the default AD path (method='auto'/'xla')")
+
+
+def validate_kind(kind):
+    """Raise ValueError unless kind is a supported base family or a
+    well-formed composite of them."""
+    parse_kind(kind)  # parse validates every base (a bare base parses too)
+
+
+def signal_scale(params):
+    """Representative signal variance for jitter/conditioning decisions:
+    exp(log_signal_var) for base families, the sum of term amplitudes for
+    composites (= the prior variance scale of the summed process)."""
+    if "terms" in params:
+        return sum(jnp.exp(t["log_signal_var"]) for t in params["terms"])
+    return jnp.exp(params["log_signal_var"])
+
+
+def _unit_amplitude(fparams):
+    p = dict(fparams)
+    p["log_signal_var"] = jnp.zeros((), jnp.float32)
+    return p
+
+
+def _composite_combine(params, kind, factor_fn):
+    """Sum over terms of (amplitude * product over factors of
+    factor_fn(unit-amplitude factor params, base))."""
+    terms = parse_kind(kind)
+    if len(params.get("terms", ())) != len(terms):
+        raise ValueError(
+            f"composite params have {len(params.get('terms', ()))} terms, "
+            f"kind {kind!r} needs {len(terms)}")
+    K = None
+    for tparams, bases in zip(params["terms"], terms):
+        Kt = None
+        for fparams, base in zip(tparams["factors"], bases):
+            Kf = factor_fn(_unit_amplitude(fparams), base)
+            Kt = Kf if Kt is None else Kt * Kf
+        Kt = jnp.exp(tparams["log_signal_var"]) * Kt
+        K = Kt if K is None else K + Kt
+    return K
+
 _SQRT3 = math.sqrt(3.0)
 _SQRT5 = math.sqrt(5.0)
 _TWO_PI = 2.0 * math.pi
@@ -109,6 +194,9 @@ def kernel_diag(params, X, kind="rbf"):
     sf2 * sum_d x_d^2/ell_d^2 + bias — posterior-variance code must use
     this, never the bare sf2 (non-stationarity).
     """
+    if is_composite(kind):
+        return _composite_combine(
+            params, kind, lambda fp, base: kernel_diag(fp, X, base))
     sf2 = jnp.exp(params["log_signal_var"])
     n = X.shape[0]
     if kind == "linear":
@@ -138,6 +226,14 @@ def cross_covariance_xla(params, X1, X2, kind="rbf", n_true=None):
     n_true: if X1 is zero-padded beyond row n_true, those rows are masked
     to 0 so padded training points do not leak into posterior algebra.
     """
+    if is_composite(kind):
+        K = _composite_combine(
+            params, kind,
+            lambda fp, base: cross_covariance_xla(fp, X1, X2, base))
+        if n_true is not None and n_true < X1.shape[0]:
+            rows = jnp.arange(X1.shape[0])[:, None]
+            K = jnp.where(rows >= n_true, 0.0, K)
+        return K
     if kind == "periodic":
         params, X1, X2 = periodic_rbf_view(params, X1, X2)
         kind = "rbf"
@@ -171,7 +267,7 @@ def train_covariance_xla(params, X, kind="rbf", jitter=1e-6, n_true=None):
     """
     K = cross_covariance_xla(params, X, X, kind)
     sn2 = jnp.exp(params["log_noise_var"])
-    sf2 = jnp.exp(params["log_signal_var"])
+    sf2 = signal_scale(params)
     n = K.shape[0]
     K = K + (sn2 + jitter * sf2) * jnp.eye(n, dtype=K.dtype)
     if n_true is not None and n_true < n:
@@ -238,11 +334,25 @@ def _train_cov_bwd(kind, jitter, n_true, res, g):
 _train_cov_pallas_ad.defvjp(_train_cov_fwd, _train_cov_bwd)
 
 
+def _mask_padded_rows(K, n_true, n1):
+    if n_true is not None and n_true < n1:
+        rows = jnp.arange(n1)[:, None]
+        K = jnp.where(rows >= n_true, 0.0, K)
+    return K
+
+
 def cross_covariance(params, X1, X2, kind="rbf", method="auto", n_true=None):
     """K(X1, X2) without noise. method: 'auto' | 'xla' | 'pallas'."""
     if method == "auto":
         method = "pallas" if _use_pallas(X1.shape[0], X2.shape[0]) else "xla"
     if method == "pallas":
+        if is_composite(kind):
+            # each factor rides its own fused Pallas build; the combine is
+            # an elementwise op XLA fuses into the consumers
+            K = _composite_combine(
+                params, kind,
+                lambda fp, base: _cross_cov_pallas_ad(fp, X1, X2, base, None))
+            return _mask_padded_rows(K, n_true, X1.shape[0])
         return _cross_cov_pallas_ad(params, X1, X2, kind, n_true)
     return cross_covariance_xla(params, X1, X2, kind, n_true=n_true)
 
@@ -256,6 +366,18 @@ def train_covariance(params, X, kind="rbf", jitter=1e-6, method="auto",
     if method == "auto":
         method = "pallas" if _use_pallas(X.shape[0], X.shape[0]) else "xla"
     if method == "pallas":
+        if is_composite(kind):
+            n = X.shape[0]
+            K = cross_covariance(params, X, X, kind, method="pallas")
+            sn2 = jnp.exp(params["log_noise_var"])
+            K = K + (sn2 + jitter * signal_scale(params)) * jnp.eye(
+                n, dtype=K.dtype)
+            if n_true is not None and n_true < n:
+                rows = jnp.arange(n)[:, None]
+                cols = jnp.arange(n)[None, :]
+                pad = (rows >= n_true) | (cols >= n_true)
+                K = jnp.where(pad, jnp.where(rows == cols, 1.0, 0.0), K)
+            return K
         return _train_cov_pallas_ad(params, X, kind, jitter, n_true)
     return train_covariance_xla(params, X, kind, jitter, n_true=n_true)
 
@@ -292,7 +414,10 @@ def init_params(d=1, lengthscale=1.0, signal_var=1.0, noise_var=0.1,
 def default_init(kind, d=1, **kw):
     """Family-aware init_params: includes the extra hyperparameter the
     family carries (rq mixture alpha, periodic per-dim period, linear bias
-    variance) so MAP/HMC/VI learn it by default."""
+    variance) so MAP/HMC/VI learn it by default. Composite kinds get the
+    nested terms/factors structure (see the kernel-algebra note above)."""
+    if is_composite(kind):
+        return composite_init(kind, d=d, **kw)
     if kind == "rq":
         kw.setdefault("alpha", 1.0)
     elif kind == "periodic":
@@ -300,3 +425,26 @@ def default_init(kind, d=1, **kw):
     elif kind == "linear":
         kw.setdefault("bias_var", 1.0)
     return init_params(d=d, **kw)
+
+
+def composite_init(kind, d=1, lengthscale=1.0, signal_var=1.0,
+                   noise_var=0.1, dtype=jnp.float32):
+    """Nested params for a composite kind: one amplitude per additive
+    term, lengthscale + family extras per factor."""
+    terms = []
+    for bases in parse_kind(kind):
+        factors = []
+        for base in bases:
+            fp = default_init(base, d=d, lengthscale=lengthscale,
+                              signal_var=1.0, noise_var=1.0, dtype=dtype)
+            fp.pop("log_signal_var")
+            fp.pop("log_noise_var")
+            factors.append(fp)
+        terms.append({
+            "log_signal_var": jnp.asarray(math.log(signal_var), dtype=dtype),
+            "factors": factors,
+        })
+    return {
+        "log_noise_var": jnp.asarray(math.log(noise_var), dtype=dtype),
+        "terms": terms,
+    }

@@ -21,8 +21,26 @@ SUPPORTED_KERNELS = ("rbf", "matern12", "matern32", "matern52", "rq",
 
 
 def _as_params(params):
-    """Normalize a params dict to float64 numpy arrays."""
-    return {k: np.asarray(v, dtype=np.float64) for k, v in params.items()}
+    """Normalize a (possibly nested composite) params dict to float64."""
+    if isinstance(params, dict):
+        return {k: _as_params(v) for k, v in params.items()}
+    if isinstance(params, (list, tuple)):
+        return [_as_params(v) for v in params]
+    return np.asarray(params, dtype=np.float64)
+
+
+def _parse_kind(kind):
+    """Sum-of-products kind parse — mirrors ops.kernels.parse_kind but
+    dependency-free (the oracle must not import the JAX tier)."""
+    return tuple(tuple(f.strip() for f in t.split("*"))
+                 for t in kind.split("+"))
+
+
+def signal_scale(params):
+    if "terms" in params:
+        return float(sum(np.exp(np.asarray(t["log_signal_var"]))
+                         for t in params["terms"]))
+    return float(np.exp(np.asarray(params["log_signal_var"])))
 
 
 def scaled_sqdist(X1, X2, lengthscale):
@@ -57,6 +75,19 @@ def kernel_fn(d2, kind, alpha=None):
 def kernel_matrix(params, X1, X2, kind="rbf"):
     """Cross-covariance K(X1, X2) WITHOUT noise."""
     p = _as_params(params)
+    if ("+" in kind) or ("*" in kind):
+        # composite: sum over terms of amplitude * product of unit factors
+        K = None
+        for tp, bases in zip(p["terms"], _parse_kind(kind)):
+            Kt = None
+            for fp, base in zip(tp["factors"], bases):
+                f = dict(fp)
+                f["log_signal_var"] = np.float64(0.0)
+                Kf = kernel_matrix(f, X1, X2, base)
+                Kt = Kf if Kt is None else Kt * Kf
+            Kt = np.exp(tp["log_signal_var"]) * Kt
+            K = Kt if K is None else K + Kt
+        return K
     ell = np.exp(p["log_lengthscale"])
     sf2 = np.exp(p["log_signal_var"])
     if kind == "periodic":
@@ -81,6 +112,18 @@ def kernel_matrix(params, X1, X2, kind="rbf"):
 def kernel_diag(params, X, kind="rbf"):
     """Prior variance diag k(x, x) (no noise); see kernels.kernel_diag."""
     p = _as_params(params)
+    if ("+" in kind) or ("*" in kind):
+        D = None
+        for tp, bases in zip(p["terms"], _parse_kind(kind)):
+            Dt = None
+            for fp, base in zip(tp["factors"], bases):
+                f = dict(fp)
+                f["log_signal_var"] = np.float64(0.0)
+                Df = kernel_diag(f, X, base)
+                Dt = Df if Dt is None else Dt * Df
+            Dt = np.exp(tp["log_signal_var"]) * Dt
+            D = Dt if D is None else D + Dt
+        return D
     sf2 = np.exp(p["log_signal_var"])
     n = np.asarray(X).shape[0]
     if kind == "linear":
@@ -96,7 +139,7 @@ def train_covariance(params, X, kind="rbf", jitter=1e-6):
     p = _as_params(params)
     K = kernel_matrix(p, X, X, kind)
     sn2 = np.exp(p["log_noise_var"])
-    sf2 = np.exp(p["log_signal_var"])
+    sf2 = signal_scale(p)
     n = K.shape[0]
     return K + (sn2 + jitter * sf2) * np.eye(n)
 

@@ -17,6 +17,7 @@ import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 from jax import shard_map
 
+from cugp_tpu.ops import kernels as kernel_ops
 from cugp_tpu.ops.kernels import kernel_fn, extra_scalar, periodic_rbf_view
 
 
@@ -68,6 +69,7 @@ def ring_train_covariance(params, X, mesh, kind="rbf", jitter=1e-6,
     X: (n, d) with n divisible by the size of mesh axis `axis` (a name or
     a tuple of names — e.g. ("r", "c") rings over all chips row-major).
     """
+    kernel_ops.require_base_kind(kind, "ring_train_covariance")
     if kind == "periodic":
         # cos/sin embedding is pointwise per row, so it commutes with the
         # row sharding; the ring then builds the equivalent rbf covariance.
