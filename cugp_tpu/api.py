@@ -403,12 +403,20 @@ class SVGP:
                 f"{svgp_mod.LIKELIHOODS}")
 
     def _encode(self, y):
+        """y -> {-1,+1} for bernoulli. Reuses the classes recorded at fit
+        time when present, so elbo() on a single-class slice encodes
+        consistently instead of re-inferring labels per call."""
         if self.likelihood != "bernoulli":
             return jnp.asarray(y, jnp.float32), None
         y = np.asarray(y)
-        classes = np.unique(y)
-        if classes.shape[0] != 2:
-            raise ValueError(f"need exactly 2 classes, got {classes}")
+        classes = getattr(self, "_classes", None)
+        if classes is None:
+            classes = np.unique(y)
+            if classes.shape[0] != 2:
+                raise ValueError(f"need exactly 2 classes, got {classes}")
+        elif not np.isin(y, classes).all():
+            raise ValueError(
+                f"labels {np.unique(y)} not within fitted classes {classes}")
         return jnp.asarray(np.where(y == classes[1], 1.0, -1.0)
                            .astype(np.float32)), classes
 
@@ -428,18 +436,24 @@ class SVGP:
         return info
 
     def predict(self, Xs, *, include_noise=False):
-        """Predictive mean/variance (gaussian) or hard labels (bernoulli)."""
+        """Predictive mean/variance (gaussian/student_t), rate (poisson),
+        or hard labels in the ORIGINAL label set (bernoulli)."""
         from cugp_tpu.models import svgp as svgp_mod
 
         Xs = jnp.asarray(Xs, jnp.float32)
         if self.likelihood == "bernoulli":
-            return jnp.where(self.predict_proba(Xs) > 0.5, 1, -1)
+            pos = np.asarray(self.predict_proba(Xs)) > 0.5
+            classes = getattr(self, "_classes", None)
+            if classes is None:
+                return jnp.where(pos, 1, -1)
+            return np.where(pos, classes[1], classes[0])
         if self.likelihood == "poisson":
             return svgp_mod.predict_rate(self.params, self.Z, self.vp, Xs,
                                          kind=self.kind, jitter=self.jitter)
         return svgp_mod.posterior(self.params, self.Z, self.vp, Xs,
                                   kind=self.kind, jitter=self.jitter,
-                                  include_noise=include_noise)
+                                  include_noise=include_noise,
+                                  likelihood=self.likelihood)
 
     def predict_proba(self, Xs):
         from cugp_tpu.models import svgp as svgp_mod

@@ -204,8 +204,10 @@ def cmd_svgp(cfg):
     model = SVGP(kind=cfg.model.kind, jitter=cfg.model.jitter,
                  likelihood=cfg.svgp.likelihood)
     t0 = time.perf_counter()
+    # cap against the LOADED size — for dataset=npz it can differ from
+    # cfg.data.n (init_inducing re-clamps too, but the cap should agree)
     info = model.fit(X, y, num_inducing=min(cfg.svgp.num_inducing,
-                                            cfg.data.n // 2),
+                                            int(np.asarray(X).shape[0]) // 2),
                      steps=cfg.fit.steps, batch=cfg.svgp.batch,
                      learning_rate=cfg.fit.learning_rate,
                      optimize_inducing=cfg.svgp.optimize_inducing)

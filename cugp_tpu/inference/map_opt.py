@@ -40,6 +40,10 @@ _BOUNDS = {
     "log_alpha": (-4.0, 6.0),
     "log_period": (-6.0, 6.0),
     "log_bias_var": (-8.0, 8.0),
+    # student-t dof: nu in [1.1, ~400] — below ~1 the likelihood's mean is
+    # undefined and the GH quadrature of its log loses accuracy; above a few
+    # hundred it is numerically gaussian and the gradient vanishes anyway
+    "log_nu": (0.1, 6.0),
 }
 
 

@@ -19,7 +19,9 @@ from cugp_tpu.models import exact_gp
 # them a fresh closure per call recompiles the whole (multi-minute) sampler
 # program. This bounded cache returns the SAME closure object for repeated
 # calls with the same data arrays and config; entries hold strong refs to
-# X/y so the id() keys stay valid while cached.
+# X/y so the id() keys stay valid while cached, and a hit is confirmed by
+# object IDENTITY against those refs — a recycled id() from an object freed
+# after eviction can therefore never alias into a stale closure.
 _LOGPROB_CACHE = {}
 _LOGPROB_CACHE_MAX = 8
 
@@ -42,8 +44,11 @@ def make_flat_logprob(init_params, X, y, kind="rbf", jitter=1e-6,
                        if isinstance(init_params, dict) else ()))
     hit = _LOGPROB_CACHE.get(cache_key)
     if hit is not None:
-        lp, unrav_cached, _refs = hit
-        return lp, unrav_cached, q0
+        lp, unrav_cached, refs = hit
+        if (refs[0] is X and refs[1] is y and refs[2] is log_prior
+                and refs[3] is lml_fn):
+            return lp, unrav_cached, q0
+        del _LOGPROB_CACHE[cache_key]  # id collision with dead objects
 
     if lml_fn is None:
         def flat_lml(q):

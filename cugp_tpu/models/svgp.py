@@ -54,9 +54,18 @@ _GH_W = jnp.asarray(_gh_w / math.sqrt(math.pi), jnp.float32)
 
 LIKELIHOODS = ("gaussian", "bernoulli", "poisson", "student_t")
 
-# student_t degrees of freedom (static; heavy-tailed robust regression).
-# nu -> inf recovers the gaussian likelihood.
+# student_t degrees of freedom DEFAULT (heavy-tailed robust regression;
+# nu -> inf recovers the gaussian likelihood). nu is LEARNABLE: fit() adds
+# a "log_nu" hyperparameter for likelihood='student_t' and the ELBO reads
+# nu = exp(log_nu) from params, so SGD adapts the tail weight to the data.
 STUDENT_T_NU = 4.0
+
+
+def student_t_nu(params):
+    """nu from params (learnable log_nu) or the static default."""
+    if isinstance(params, dict) and "log_nu" in params:
+        return jnp.exp(params["log_nu"])
+    return jnp.float32(STUDENT_T_NU)
 
 
 def chol_from_flat(flat, dim):
@@ -117,7 +126,7 @@ def _qf(params, Z, vp, Xb, kind, jitter):
     return mu, jnp.maximum(var, 1e-10)
 
 
-def expected_loglik(y, mu, var, likelihood, sn2=None):
+def expected_loglik(y, mu, var, likelihood, sn2=None, nu=None):
     """E_{f ~ N(mu, var)} [log p(y | f)], elementwise over the batch."""
     if likelihood == "gaussian":
         r = y - mu
@@ -133,11 +142,11 @@ def expected_loglik(y, mu, var, likelihood, sn2=None):
         return (y * mu - jnp.exp(mu + 0.5 * var)
                 - jax.lax.lgamma(y + 1.0))
     if likelihood == "student_t":
-        # heavy-tailed robust regression; scale^2 = sn2, nu = STUDENT_T_NU.
-        # No closed form — GH quadrature like bernoulli.
-        nu = STUDENT_T_NU
-        const = (jax.lax.lgamma(jnp.float32((nu + 1.0) / 2.0))
-                 - jax.lax.lgamma(jnp.float32(nu / 2.0))
+        # heavy-tailed robust regression; scale^2 = sn2, nu learnable
+        # (student_t_nu). No closed form — GH quadrature like bernoulli.
+        nu = jnp.float32(STUDENT_T_NU) if nu is None else nu
+        const = (jax.lax.lgamma((nu + 1.0) / 2.0)
+                 - jax.lax.lgamma(nu / 2.0)
                  - 0.5 * jnp.log(nu * jnp.pi * sn2))
         f = mu[:, None] + jnp.sqrt(2.0 * var)[:, None] * _GH_X[None, :]
         r2 = (y[:, None] - f) ** 2
@@ -164,8 +173,15 @@ def elbo(params, Z, vp, X, y, kind="rbf", jitter=1e-6,
     mu, var = _qf(params, Z, vp, X, kind, jitter)
     sn2 = (jnp.exp(params["log_noise_var"])
            if likelihood in ("gaussian", "student_t") else None)
-    ell = jnp.sum(expected_loglik(y, mu, var, likelihood, sn2))
+    nu = student_t_nu(params) if likelihood == "student_t" else None
+    ell = jnp.sum(expected_loglik(y, mu, var, likelihood, sn2, nu))
     return scale * ell - kl_whitened(vp)
+
+
+# Above this n, optimal_variational streams K_mn in column chunks instead
+# of materializing the (m, n) matrix — only A A^T (m, m) and A y (m,) are
+# ever held, preserving the module's O(b m^2) memory claim at warm-start.
+_WARMSTART_CHUNK = 8192
 
 
 @partial(jax.jit, static_argnames=("kind", "jitter"))
@@ -173,26 +189,72 @@ def optimal_variational(params, Z, X, y, kind="rbf", jitter=1e-6):
     """Closed-form optimal whitened q(v) for the Gaussian likelihood.
 
     S = (I + A A^T / sn2)^{-1}, m = S A y / sn2 — at these values the
-    uncollapsed bound equals the Titsias collapsed bound (sgpr.elbo)."""
+    uncollapsed bound equals the Titsias collapsed bound (sgpr.elbo).
+    For n > _WARMSTART_CHUNK the statistics A A^T and A y accumulate over
+    column chunks of K_mn under lax.scan (exact, never (m, n) resident)."""
     mm = Z.shape[0]
+    n = X.shape[0]
     sn2 = jnp.exp(params["log_noise_var"])
     L = _kmm_chol(params, Z, kind, jitter)
-    Kmn = kernel_ops.cross_covariance_xla(params, Z, X, kind)
-    A = jax.lax.linalg.triangular_solve(L, Kmn, left_side=True, lower=True)
-    B = jnp.eye(mm, dtype=A.dtype) + jnp.matmul(A, A.mT, precision=_HI) / sn2
+    if n <= _WARMSTART_CHUNK:
+        Kmn = kernel_ops.cross_covariance_xla(params, Z, X, kind)
+        A = jax.lax.linalg.triangular_solve(L, Kmn, left_side=True,
+                                            lower=True)
+        AAt = jnp.matmul(A, A.mT, precision=_HI)
+        Ay = A @ y
+    else:
+        c = _WARMSTART_CHUNK
+        nc = -(-n // c)
+        pad = nc * c - n
+        Xp = jnp.pad(X, ((0, pad), (0, 0))).reshape(nc, c, X.shape[1])
+        yp = jnp.pad(y, (0, pad)).reshape(nc, c)
+        valid = (jnp.arange(nc * c) < n).reshape(nc, c)
+
+        def chunk_stats(carry, xs):
+            AAt, Ay = carry
+            Xc, yc, vc = xs
+            Kmc = kernel_ops.cross_covariance_xla(params, Z, Xc, kind)
+            Ac = jax.lax.linalg.triangular_solve(L, Kmc, left_side=True,
+                                                 lower=True)
+            Ac = jnp.where(vc[None, :], Ac, 0.0)  # padded cols contribute 0
+            AAt = AAt + jnp.matmul(Ac, Ac.mT, precision=_HI)
+            Ay = Ay + Ac @ yc
+            return (AAt, Ay), None
+
+        (AAt, Ay), _ = jax.lax.scan(
+            chunk_stats,
+            (jnp.zeros((mm, mm), jnp.float32), jnp.zeros((mm,), jnp.float32)),
+            (Xp, yp, valid))
+    B = jnp.eye(mm, dtype=AAt.dtype) + AAt / sn2
     S = jnp.linalg.inv(B)
     S = 0.5 * (S + S.mT) + 1e-8 * jnp.eye(mm, dtype=S.dtype)
-    m = S @ (A @ y) / sn2
+    m = S @ Ay / sn2
     return {"m": m, "c": flat_from_chol(jnp.linalg.cholesky(S))}
 
 
-@partial(jax.jit, static_argnames=("kind", "jitter", "include_noise"))
+@partial(jax.jit, static_argnames=("kind", "jitter", "include_noise",
+                                   "likelihood"))
 def posterior(params, Z, vp, Xs, kind="rbf", jitter=1e-6,
-              include_noise=False):
-    """Predictive q(f*) mean/variance at Xs (add sn2 for observations)."""
+              include_noise=False, likelihood="gaussian"):
+    """Predictive q(f*) mean/variance at Xs.
+
+    include_noise adds the OBSERVATION variance for the likelihood:
+    sn2 for gaussian; nu/(nu-2) * sn2 for student_t (sn2 is the scale^2
+    there, not the variance). Count/label likelihoods have no additive
+    observation-noise notion — use predict_rate / predict_proba."""
+    if include_noise and likelihood not in ("gaussian", "student_t"):
+        raise ValueError(
+            f"include_noise is undefined for likelihood={likelihood!r}; "
+            "use predict_rate (poisson) or predict_proba (bernoulli)")
     mu, var = _qf(params, Z, vp, Xs, kind, jitter)
     if include_noise:
-        var = var + jnp.exp(params["log_noise_var"])
+        sn2 = jnp.exp(params["log_noise_var"])
+        if likelihood == "student_t":
+            nu = student_t_nu(params)
+            # variance of a student-t with nu<=2 is undefined/infinite;
+            # clamp so the reported observation variance stays finite
+            sn2 = sn2 * nu / jnp.maximum(nu - 2.0, 1e-3)
+        var = var + sn2
     return mu, var
 
 
@@ -269,6 +331,10 @@ def fit(init_params, X, y, *, num_inducing=512, Z=None, kind="rbf",
     if likelihood not in LIKELIHOODS:
         raise ValueError(f"unknown likelihood: {likelihood}; "
                          f"supported: {LIKELIHOODS}")
+    if likelihood == "student_t" and "log_nu" not in init_params:
+        init_params = dict(init_params)
+        init_params["log_nu"] = jnp.asarray(math.log(STUDENT_T_NU),
+                                            jnp.float32)
     X = jnp.asarray(X, jnp.float32)
     y = jnp.asarray(y, jnp.float32)
     n = X.shape[0]

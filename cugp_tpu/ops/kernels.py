@@ -187,6 +187,62 @@ def extra_scalar(params, kind):
     return jnp.float32(1.0)
 
 
+def flatten_terms(params, kind):
+    """Uniform per-term/per-factor view of ANY kind (base or composite).
+
+    Returns [(amplitude, [(base, unit_factor_params), ...]), ...]: one
+    entry per additive term; every factor carries unit amplitude. Base
+    kinds become a single one-factor term with amplitude
+    exp(log_signal_var). This is what lets the blocked/ring tile builders
+    treat composites as sums of products of base-family tile evaluations.
+    """
+    if not is_composite(kind):
+        return [(jnp.exp(params["log_signal_var"]),
+                 [(kind, _unit_amplitude(params))])]
+    out = []
+    terms = parse_kind(kind)
+    if len(params.get("terms", ())) != len(terms):
+        raise ValueError(
+            f"composite params have {len(params.get('terms', ()))} terms, "
+            f"kind {kind!r} needs {len(terms)}")
+    for tparams, bases in zip(params["terms"], terms):
+        out.append((jnp.exp(tparams["log_signal_var"]),
+                    [(base, _unit_amplitude(fp))
+                     for fp, base in zip(tparams["factors"], bases)]))
+    return out
+
+
+def factor_view(fparams, X, base):
+    """Scale X into a factor's evaluation space.
+
+    Returns (Xs, base', extra) such that the factor's unit-amplitude tile
+    between row/col chunks of Xs is ``tile_eval(rows, cols, base',
+    extra)`` — periodic is rewritten to rbf on the cos/sin embedding, so
+    every factor reduces to a scaled-dot-product tile on the MXU.
+    """
+    if base == "periodic":
+        fparams, X = periodic_rbf_view(fparams, X)
+        base = "rbf"
+    ell = jnp.exp(fparams["log_lengthscale"])
+    return (X / ell).astype(jnp.float32), base, extra_scalar(fparams, base)
+
+
+def tile_eval(rows_s, cols_s, base, extra):
+    """Unit-amplitude kernel tile between pre-scaled row/col chunks.
+
+    base must be post-factor_view (no 'periodic'); extra is the rq alpha
+    or the linear bias (ignored otherwise). The cross term rides the MXU.
+    """
+    cross = jnp.dot(rows_s, cols_s.T, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+    if base == "linear":
+        return cross + extra
+    r2 = jnp.sum(rows_s * rows_s, axis=-1)[:, None]
+    c2 = jnp.sum(cols_s * cols_s, axis=-1)[None, :]
+    d2 = jnp.maximum(r2 + c2 - 2.0 * cross, 0.0)
+    return kernel_fn(d2, base, extra if base == "rq" else None)
+
+
 def kernel_diag(params, X, kind="rbf"):
     """Prior variance diag k(x, x) at the inputs (no noise).
 

@@ -228,9 +228,79 @@ def test_api_svgp_classifier_labels():
               batch=100, learning_rate=0.05)
     p = model.predict_proba(X)
     labels = model.predict(X)
-    assert set(np.unique(np.asarray(labels))) <= {-1, 1}
+    # predictions come back in the ORIGINAL label set the model was fit on
+    assert set(np.unique(np.asarray(labels))) <= {0, 1}
     acc = np.mean((np.asarray(p) > 0.5) == (y > 0))
     assert acc > 0.85
+    # elbo on a single-class slice must encode via the FITTED classes
+    pos = X[(y > 0)]
+    assert np.isfinite(float(model.elbo(pos, np.ones(len(pos), np.int32))))
+    with pytest.raises(ValueError, match="classes"):
+        model.elbo(X[:4], np.asarray([0, 1, 2, 1]))
+
+
+def test_optimal_variational_chunked_matches_dense(params):
+    """The streaming warm-start accumulation must equal the dense path."""
+    X, y, _ = synthetic.sinusoid_1d(n=300, noise_std=0.1, seed=5)
+    X, y = jnp.asarray(X), jnp.asarray(y)
+    Z = sgpr.init_inducing(X, 32, seed=0)
+    dense = svgp.optimal_variational(params, Z, X, y)
+    old = svgp._WARMSTART_CHUNK
+    try:
+        svgp._WARMSTART_CHUNK = 128  # forces 3 chunks incl. a padded tail
+        chunked = svgp.optimal_variational(params, Z, X[:299], y[:299])
+        dense299 = None
+    finally:
+        svgp._WARMSTART_CHUNK = old
+    dense299 = svgp.optimal_variational(params, Z, X[:299], y[:299])
+    np.testing.assert_allclose(chunked["m"], dense299["m"], atol=1e-4)
+    np.testing.assert_allclose(chunked["c"], dense299["c"], atol=1e-4)
+    assert np.isfinite(np.asarray(dense["m"])).all()
+
+
+def test_student_t_learnable_nu():
+    """fit(likelihood='student_t') learns log_nu: on heavy-outlier data it
+    should stay well below gaussian-like values, and the ELBO must respond
+    to nu (gradient flows)."""
+    X, y, f = synthetic.sinusoid_outliers(n=300, noise_std=0.1,
+                                          outlier_frac=0.15,
+                                          outlier_scale=6.0, seed=2)
+    init = kernel_ops.init_params(d=1, lengthscale=1.0, signal_var=1.0,
+                                  noise_var=0.1)
+    params, Z, vp, info = svgp.fit(
+        init, jnp.asarray(X, jnp.float32), jnp.asarray(y, jnp.float32),
+        num_inducing=32, likelihood="student_t", steps=300, batch=128,
+        learning_rate=0.02, seed=0)
+    assert "log_nu" in params
+    nu = float(jnp.exp(params["log_nu"]))
+    assert 1.1 <= nu <= 403.0  # inside the _clamp box
+    # gradient of the bound w.r.t. log_nu is nonzero at the fit
+    g = jax.grad(lambda lp: svgp.elbo(
+        {**params, "log_nu": lp}, Z, vp, jnp.asarray(X, jnp.float32),
+        jnp.asarray(y, jnp.float32), likelihood="student_t"))(
+            params["log_nu"])
+    assert np.isfinite(float(g))
+
+
+def test_student_t_include_noise_scales_variance(reg_data, params):
+    """include_noise for student_t adds nu/(nu-2)*sn2, not bare sn2."""
+    X, y = reg_data
+    Z = sgpr.init_inducing(X, 24, seed=1)
+    vp = svgp.optimal_variational(params, Z, X, y)
+    Xs = X[:8]
+    _, var_f = svgp.posterior(params, Z, vp, Xs)
+    _, var_g = svgp.posterior(params, Z, vp, Xs, include_noise=True,
+                              likelihood="gaussian")
+    p_t = {**params, "log_nu": jnp.asarray(np.log(4.0), jnp.float32)}
+    _, var_t = svgp.posterior(p_t, Z, vp, Xs, include_noise=True,
+                              likelihood="student_t")
+    sn2 = float(jnp.exp(params["log_noise_var"]))
+    np.testing.assert_allclose(np.asarray(var_g - var_f), sn2, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(var_t - var_f), 2.0 * sn2,
+                               rtol=1e-5)  # nu/(nu-2) = 2 at nu=4
+    with pytest.raises(ValueError, match="include_noise"):
+        svgp.posterior(params, Z, vp, Xs, include_noise=True,
+                       likelihood="poisson")
 
 
 def test_cli_svgp(capsys):
