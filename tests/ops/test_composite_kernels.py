@@ -167,6 +167,8 @@ def test_composite_save_load_roundtrip(tmp_path):
 
 
 def test_fast_paths_reject_composite():
+    """Only the ANALYTIC-gradient cross-check paths stay base-only now;
+    ring + iterative serve composites (tests below / tests/dist)."""
     X, y = _data(n=32, d=1)
     params = kernel_ops.default_init("rbf+linear", d=1)
     with pytest.raises(NotImplementedError, match="base kernel"):
@@ -174,7 +176,64 @@ def test_fast_paths_reject_composite():
     from cugp_tpu.inference import iterative
 
     with pytest.raises(NotImplementedError, match="base kernel"):
-        iterative.lml_iterative(params, X, y, kind="rbf+linear")
+        iterative.lml_value_and_grad_iterative(params, X, y,
+                                               kind="rbf+linear")
+    with pytest.raises(NotImplementedError, match="base kernel"):
+        iterative.make_matvec(params, X, kind="rbf+linear",
+                              method="pallas")
+
+
+@pytest.mark.parametrize("kind", ["rbf+linear", "periodic*rbf",
+                                  "periodic*rbf+linear"])
+def test_iterative_matvec_composite_matches_dense(kind):
+    """Composite kinds through the blocked matvec tiles (VERDICT item 5):
+    (K + noise I) v must equal the dense composite covariance matvec."""
+    from cugp_tpu.inference import iterative
+
+    X, _ = _data(n=200, d=2, seed=11)
+    params = kernel_ops.default_init(kind, d=2, noise_var=0.05)
+    K = kernel_ops.train_covariance_xla(params, X, kind=kind, jitter=1e-6)
+    v = jnp.asarray(np.random.default_rng(0).normal(size=(200, 3)),
+                    jnp.float32)
+    mv = iterative.make_matvec(params, X, kind=kind, jitter=1e-6, block=64)
+    np.testing.assert_allclose(np.asarray(mv(v)), np.asarray(K @ v),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(mv(v[:, 0])),
+                               np.asarray(K @ v[:, 0]),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_iterative_lml_and_posterior_composite():
+    """lml_iterative / posterior_iterative / pivoted preconditioner on a
+    quasi-periodic composite — same checks the base-kind matrix passes."""
+    from cugp_tpu.inference import iterative
+
+    kind = "periodic*rbf"
+    X, y = _data(n=220, d=1, seed=3)
+    params = kernel_ops.default_init(kind, d=1, noise_var=0.1)
+    dense = exact_gp.log_marginal_likelihood(params, X, y, kind=kind,
+                                             method="xla")
+    est = iterative.lml_iterative(params, X, y, kind=kind, block=64,
+                                  num_probes=32, num_steps=48,
+                                  precond_rank=16)
+    # SLQ logdet is stochastic: a few-percent band like the base-kind test
+    np.testing.assert_allclose(float(est), float(dense),
+                               rtol=0.05, atol=8.0)
+    Xs = X[:16] + 0.05
+    mu_d, var_d = exact_gp.posterior(params, X, y, Xs, kind=kind,
+                                     method="xla")
+    mu_i, var_i = iterative.posterior_iterative(params, X, y, Xs, kind=kind,
+                                                block=64, tol=1e-7)
+    np.testing.assert_allclose(np.asarray(mu_i), np.asarray(mu_d),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(var_i), np.asarray(var_d),
+                               rtol=1e-2, atol=1e-3)
+    # pivoted Cholesky of the noise-free composite kernel approximates it
+    Lk, resid = iterative.pivoted_cholesky(params, X, rank=64, kind=kind)
+    Kf = kernel_ops.cross_covariance_xla(params, X, X, kind)
+    err = np.abs(np.asarray(Lk @ Lk.T) - np.asarray(Kf)).max()
+    assert err < 0.1 * float(kernel_ops.signal_scale(params)), err
+    assert float(resid) >= -1e-5
 
 
 def test_composite_pallas_matches_xla_interpret():
