@@ -37,7 +37,13 @@ def main(argv=None):
     warmup = int(args.get("--warmup", 64))
     sampler = args.get("--sampler", "hmc")
     on_tpu = jax.default_backend() == "tpu"
-    batch = int(args.get("--batch", min(chains, 32 if on_tpu else chains)))
+    # --chain_block=B: the spec'd single-program layout — ALL chains in one
+    # jitted sampler, executed as lax.map over B-wide vmapped blocks with
+    # adaptation pooled across every chain (hmc.blocked_chains). Without
+    # it, the legacy sequential-batch ladder below.
+    chain_block = int(args.get("--chain_block", 0))
+    batch = (chains if chain_block else
+             int(args.get("--batch", min(chains, 32 if on_tpu else chains))))
 
     from cugp_tpu.data import synthetic
     from cugp_tpu.ops import kernels as kops
@@ -56,7 +62,8 @@ def main(argv=None):
         out = sampling.sample_hyperparams(
             init, Xj, yj, kind="rbf", method="auto", sampler=sampler,
             num_chains=batch, num_samples=samples, num_warmup=warmup,
-            max_tree_depth=6, key=jax.random.key(1000 + b))
+            max_tree_depth=6, key=jax.random.key(1000 + b),
+            chain_block=chain_block)
         accepts.append(float(out["accept_rate"]))  # forces completion
         batch_times.append(time.perf_counter() - tb)
     dt = time.perf_counter() - t0
@@ -67,6 +74,8 @@ def main(argv=None):
     print(json.dumps({
         "sampler": sampler, "n": n, "chains": batch * n_batches,
         "chain_batch": batch, "n_batches": n_batches,
+        "chain_block": chain_block,
+        "single_program": bool(chain_block or n_batches == 1),
         "samples_per_chain": samples,
         "wall_s": round(dt, 2),
         "posterior_samples_per_s": round(total_draws / dt, 1),

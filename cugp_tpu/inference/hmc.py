@@ -251,23 +251,68 @@ def adaptive_run(state0, key, kernel, num_warmup, num_samples, eps0,
     }
 
 
-def make_hmc_kernel(logprob_and_grad, n_leapfrog=32):
-    """Vmapped-chain HMC transition kernel for adaptive_run/sample_segment."""
+def blocked_chains(fn, chain_block):
+    """Lift per-chain fn(state_i, key_i) to (C,) chains: lax.map over
+    blocks of `chain_block` vmapped chains.
+
+    The spec'd config-3 layout is ONE program carrying 256 chains
+    (BASELINE.json:9); a 256-wide vmap of Cholesky-grad scans crashes the
+    tunneled TPU worker (round-1/2 finding), so this executes the same 256
+    chains as a sequential lax.map over 256/chain_block blocks INSIDE one
+    jitted program — one compile, one program, all chains' statistics
+    available to shared adaptation (warmup_adapt pools the full (C,)
+    acceptance/moment vectors regardless of blocking). chain_block=0
+    means plain full-width vmap. A single transition matches the
+    full-width vmap to fp tolerance; over many steps the layouts may
+    diverge bitwise (XLA reassociates reductions differently and HMC is
+    chaotic) while remaining draws from the identical Markov kernel.
+    """
+    def run(state, keys):
+        C = keys.shape[0]
+        if not chain_block or C <= chain_block:
+            return jax.vmap(fn)(state, keys)
+        if C % chain_block:
+            raise ValueError(
+                f"n_chains={C} not divisible by chain_block={chain_block}")
+        nb = C // chain_block
+
+        def resh(x):
+            return x.reshape((nb, chain_block) + x.shape[1:])
+
+        def unresh(x):
+            return x.reshape((C,) + x.shape[2:])
+
+        out = jax.lax.map(
+            lambda args: jax.vmap(fn)(*args),
+            (jax.tree.map(resh, state), resh(keys)))
+        return jax.tree.map(unresh, out)
+
+    return run
+
+
+def make_hmc_kernel(logprob_and_grad, n_leapfrog=32, chain_block=0):
+    """Vmapped-chain HMC transition kernel for adaptive_run/sample_segment.
+
+    chain_block > 0: chains execute as lax.map over chain_block-wide
+    vmapped blocks inside the same program (see blocked_chains).
+    """
 
     def kernel(state, keys, eps, inv_mass):
-        state, aprobs = jax.vmap(
+        run = blocked_chains(
             lambda s, k: hmc_kernel(s, k, eps, inv_mass, logprob_and_grad,
-                                    n_leapfrog)
-        )(state, keys)
+                                    n_leapfrog), chain_block)
+        state, aprobs = run(state, keys)
         return state, aprobs, aprobs
 
     return kernel
 
 
 @partial(jax.jit, static_argnames=("logprob_and_grad", "n_leapfrog",
-                                   "num_warmup", "num_samples", "psum_axis"))
+                                   "num_warmup", "num_samples", "psum_axis",
+                                   "chain_block"))
 def run_hmc(q0, key, logprob_and_grad, n_leapfrog=32, num_warmup=256,
-            num_samples=512, eps0=0.1, target_accept=0.8, psum_axis=None):
+            num_samples=512, eps0=0.1, target_accept=0.8, psum_axis=None,
+            chain_block=0):
     """Vmapped-chain HMC with shared step-size/mass adaptation.
 
     q0: (n_chains, dim) initial positions. Returns dict with samples
@@ -276,10 +321,16 @@ def run_hmc(q0, key, logprob_and_grad, n_leapfrog=32, num_warmup=256,
     psum_axis: optional mapped axis name — when run under shard_map, chain
     statistics (mean acceptance, mass moments) are all-reduced over it so
     adaptation is identical across chips (BASELINE.json:5).
+    chain_block: >0 executes chains as lax.map over chain_block-wide
+    vmapped blocks inside this one program (blocked_chains) — the spec'd
+    single-program 256-chain layout without a 256-wide vmap; adaptation
+    pools ALL chains either way.
     """
-    logp0, grad0 = jax.vmap(lambda q: logprob_and_grad(q))(q0)
+    logp0, grad0 = blocked_chains(
+        lambda q, _k: logprob_and_grad(q), chain_block)(
+            q0, jax.random.split(jax.random.key(0), q0.shape[0]))
     state0 = HMCState(q0, logp0, grad0)
-    kernel = make_hmc_kernel(logprob_and_grad, n_leapfrog)
+    kernel = make_hmc_kernel(logprob_and_grad, n_leapfrog, chain_block)
     out = adaptive_run(state0, key, kernel, num_warmup, num_samples, eps0,
                        target_accept, psum_axis)
     out.pop("aux")

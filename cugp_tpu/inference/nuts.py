@@ -282,27 +282,35 @@ def nuts_kernel(state, key, eps, inv_mass, logprob_and_grad, max_depth=8):
     return new_state, info
 
 
-def make_nuts_kernel(logprob_and_grad, max_depth=8):
-    """Vmapped-chain NUTS transition kernel for adaptive_run/sample_segment."""
+def make_nuts_kernel(logprob_and_grad, max_depth=8, chain_block=0):
+    """Vmapped-chain NUTS transition kernel for adaptive_run/sample_segment.
+
+    chain_block > 0: chains execute as lax.map over chain_block-wide
+    vmapped blocks inside the same program (hmc.blocked_chains).
+    """
 
     def kernel(state, keys, eps, inv_mass):
-        state, info = jax.vmap(
+        run = hmc_lib.blocked_chains(
             lambda s, k: nuts_kernel(s, k, eps, inv_mass, logprob_and_grad,
-                                     max_depth)
-        )(state, keys)
+                                     max_depth), chain_block)
+        state, info = run(state, keys)
         return state, info.accept_prob, (info.diverging, info.n_leapfrog)
 
     return kernel
 
 
 @partial(jax.jit, static_argnames=("logprob_and_grad", "max_depth",
-                                   "num_warmup", "num_samples", "psum_axis"))
+                                   "num_warmup", "num_samples", "psum_axis",
+                                   "chain_block"))
 def run_nuts(q0, key, logprob_and_grad, max_depth=8, num_warmup=256,
-             num_samples=512, eps0=0.1, target_accept=0.8, psum_axis=None):
+             num_samples=512, eps0=0.1, target_accept=0.8, psum_axis=None,
+             chain_block=0):
     """Vmapped-chain NUTS with the shared 3-phase adaptive driver."""
-    logp0, grad0 = jax.vmap(lambda q: logprob_and_grad(q))(q0)
+    logp0, grad0 = hmc_lib.blocked_chains(
+        lambda q, _k: logprob_and_grad(q), chain_block)(
+            q0, jax.random.split(jax.random.key(0), q0.shape[0]))
     state0 = hmc_lib.HMCState(q0, logp0, grad0)
-    kernel = make_nuts_kernel(logprob_and_grad, max_depth)
+    kernel = make_nuts_kernel(logprob_and_grad, max_depth, chain_block)
     out = hmc_lib.adaptive_run(state0, key, kernel, num_warmup, num_samples,
                                eps0, target_accept, psum_axis)
     divs, nlf = out.pop("aux")

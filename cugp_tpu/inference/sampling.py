@@ -75,11 +75,16 @@ def sample_hyperparams(init_params, X, y, *, kind="rbf", jitter=1e-6,
                        method="auto", num_samples=512, num_chains=8,
                        num_warmup=256, sampler="nuts", key=None,
                        max_tree_depth=8, eps0=0.1, target_accept=0.8,
-                       log_prior=hmc_lib.default_log_prior):
+                       log_prior=hmc_lib.default_log_prior, chain_block=0):
     """NUTS/HMC posterior over kernel hyperparameters.
 
     Returns dict with "samples": pytree of (num_samples, n_chains, ...)
     arrays in log-space, plus sampler diagnostics.
+
+    chain_block > 0: run chains as lax.map over chain_block-wide vmapped
+    blocks inside ONE program (hmc.blocked_chains) — the config-3
+    single-program 256-chain layout with adaptation pooled over all
+    chains, without a 256-wide vmap (BASELINE.json:9).
     """
     if key is None:
         key = jax.random.key(0)
@@ -93,12 +98,12 @@ def sample_hyperparams(init_params, X, y, *, kind="rbf", jitter=1e-6,
         out = nuts_lib.run_nuts(
             qs0, key_run, logprob_and_grad, max_depth=max_tree_depth,
             num_warmup=num_warmup, num_samples=num_samples, eps0=eps0,
-            target_accept=target_accept)
+            target_accept=target_accept, chain_block=chain_block)
     elif sampler == "hmc":
         out = hmc_lib.run_hmc(
             qs0, key_run, logprob_and_grad, n_leapfrog=32,
             num_warmup=num_warmup, num_samples=num_samples, eps0=eps0,
-            target_accept=target_accept)
+            target_accept=target_accept, chain_block=chain_block)
     else:
         raise ValueError(f"unknown sampler: {sampler}")
 

@@ -123,3 +123,59 @@ def test_nuts_neals_funnel_loose():
     assert abs(vs.mean()) < 1.0
     assert vs.std() > 1.8
     assert float(out["divergence_rate"]) < 0.3
+
+
+def test_blocked_kernel_single_transition_matches_vmap():
+    """One blocked transition (lax.map over vmapped blocks) must equal the
+    full-width-vmap transition to fp tolerance: same keys, same kernel.
+    (Whole runs may diverge bitwise — HMC is chaotic and XLA reassociates
+    reductions differently across layouts — so the per-transition check is
+    the sharp one; the statistical check below covers the full run.)"""
+    dim, chains = 3, 16
+    lp = _gauss_logprob(jnp.zeros(dim), jnp.eye(dim))
+    q0 = jax.random.normal(jax.random.key(0), (chains, dim))
+    logp0, grad0 = jax.vmap(lambda q: lp(q))(q0)
+    state0 = hmc_lib.HMCState(q0, logp0, grad0)
+    keys = jax.random.split(jax.random.key(1), chains)
+    eps = jnp.asarray(0.2)
+    inv_mass = jnp.ones(dim)
+    k_full = hmc_lib.make_hmc_kernel(lp, n_leapfrog=8)
+    k_blk = hmc_lib.make_hmc_kernel(lp, n_leapfrog=8, chain_block=4)
+    s_full, a_full, _ = k_full(state0, keys, eps, inv_mass)
+    s_blk, a_blk, _ = k_blk(state0, keys, eps, inv_mass)
+    np.testing.assert_allclose(np.asarray(s_full.q), np.asarray(s_blk.q),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a_full), np.asarray(a_blk),
+                               atol=1e-5)
+
+    nk_full = nuts_lib.make_nuts_kernel(lp, max_depth=5)
+    nk_blk = nuts_lib.make_nuts_kernel(lp, max_depth=5, chain_block=8)
+    ns_full, na_full, _ = nk_full(state0, keys, eps, inv_mass)
+    ns_blk, na_blk, _ = nk_blk(state0, keys, eps, inv_mass)
+    np.testing.assert_allclose(np.asarray(ns_full.q), np.asarray(ns_blk.q),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(na_full), np.asarray(na_blk),
+                               atol=1e-5)
+
+
+def test_blocked_chain_run_statistically_correct():
+    """Full blocked-layout run still samples the right target with pooled
+    adaptation (the single-program config-3 layout, BASELINE.json:9)."""
+    dim, chains = 3, 16
+    lp = _gauss_logprob(jnp.zeros(dim), jnp.eye(dim))
+    q0 = jax.random.normal(jax.random.key(0), (chains, dim))
+    out = hmc_lib.run_hmc(q0, jax.random.key(1), lp, n_leapfrog=16,
+                          num_warmup=300, num_samples=1200, eps0=0.2,
+                          chain_block=4)
+    qs = np.asarray(out["samples_flat"]).reshape(-1, dim)
+    assert 0.4 < float(out["accept_rate"]) <= 1.0
+    np.testing.assert_allclose(qs.mean(axis=0), 0.0, atol=0.2)
+    np.testing.assert_allclose(qs.std(axis=0), 1.0, atol=0.15)
+
+
+def test_blocked_chain_layout_bad_divisor():
+    lp = _gauss_logprob(jnp.zeros(2), jnp.eye(2))
+    q0 = jnp.zeros((6, 2))
+    with pytest.raises(ValueError, match="divisible"):
+        hmc_lib.run_hmc(q0, jax.random.key(1), lp, n_leapfrog=4,
+                        num_warmup=10, num_samples=10, chain_block=4)
