@@ -393,7 +393,8 @@ def _factor_local_chunked(A_loc, *, nb, R, C, block, nbr, nbc, chunk):
 _STATIC_UNROLL_MAX_NB = 16
 
 
-def block_cyclic_cholesky(K, mesh, block=128, pipelined=True, chunk=8):
+def block_cyclic_cholesky(K, mesh, block=128, pipelined=True, chunk=8,
+                          relayout="all_to_all"):
     """Lower Cholesky of K via the shard_map block-cyclic algorithm.
 
     K: (n, n) with n divisible by block*R and block*C for the ('r','c')
@@ -406,7 +407,17 @@ def block_cyclic_cholesky(K, mesh, block=128, pipelined=True, chunk=8):
     layout supports. pipelined=False is the round-1 fori_loop/psum body
     (O(1) trace size, all-reduce-shaped broadcasts; kept as the
     correctness reference).
+
+    relayout: "all_to_all" (default) applies the block-cyclic layout
+    transition with relayout.to_block_cyclic/from_block_cyclic — a
+    shard_map-scheduled exchange (one all_to_all per mesh axis, local
+    pre-sort/compact) whose per-chip traffic is its local bytes.
+    "gather" is the round-2 global permutation (K[row_perm][:, col_perm]
+    outside shard_map — a compiler-chosen gather of the whole matrix),
+    kept as the comparison path.
     """
+    from cugp_tpu.parallel import relayout as relayout_lib
+
     n = K.shape[-1]
     R, C = mesh.shape["r"], mesh.shape["c"]
     if n % (block * R) or n % (block * C):
@@ -416,9 +427,14 @@ def block_cyclic_cholesky(K, mesh, block=128, pipelined=True, chunk=8):
     nb = n // block
     nbr, nbc = nb // R, nb // C
 
-    row_perm = cyclic_permutation(nb, R, block)
-    col_perm = cyclic_permutation(nb, C, block)
-    Kp = K[row_perm][:, col_perm]
+    if relayout == "all_to_all":
+        Kp = relayout_lib.to_block_cyclic(K, mesh, block)
+    elif relayout == "gather":
+        row_perm = cyclic_permutation(nb, R, block)
+        col_perm = cyclic_permutation(nb, C, block)
+        Kp = K[row_perm][:, col_perm]
+    else:
+        raise ValueError(f"unknown relayout: {relayout}")
 
     if not pipelined:
         body = partial(_factor_local, nb=nb, R=R, C=C, block=block,
@@ -436,4 +452,6 @@ def block_cyclic_cholesky(K, mesh, block=128, pipelined=True, chunk=8):
         out_specs=P("r", "c"),
     )
     Lp = fn(Kp)
+    if relayout == "all_to_all":
+        return relayout_lib.from_block_cyclic(Lp, mesh, block)
     return Lp[_inverse_perm(row_perm)][:, _inverse_perm(col_perm)]

@@ -77,3 +77,58 @@ def test_config5_pipeline_ring_relayout_cholesky(mesh2d, rng):
     L_ref = jnp.linalg.cholesky(K_ref)
     np.testing.assert_allclose(np.asarray(L), np.asarray(L_ref), rtol=1e-4,
                                atol=1e-5)
+
+
+def test_to_block_cyclic_matches_permutation(mesh2d, rng):
+    """Scheduled exchange == the global permutation, on divisible AND
+    non-divisible (padded-exchange) block counts."""
+    from cugp_tpu.parallel import block_cyclic
+
+    R, C = mesh2d.shape["r"], mesh2d.shape["c"]
+    for block, n in [(32, 256), (16, 256), (32, 384)]:
+        nb = n // block
+        a = jnp.asarray(rng.standard_normal((n, n)), jnp.float32)
+        got = relayout.to_block_cyclic(a, mesh2d, block)
+        rp = np.asarray(block_cyclic.cyclic_permutation(nb, R, block))
+        cp = np.asarray(block_cyclic.cyclic_permutation(nb, C, block))
+        want = np.asarray(a)[rp][:, cp]
+        np.testing.assert_array_equal(np.asarray(got), want)
+        back = relayout.from_block_cyclic(got, mesh2d, block)
+        np.testing.assert_array_equal(np.asarray(back), np.asarray(a))
+
+
+def test_block_cyclic_relayout_collectives(mesh2d, rng):
+    """The cyclic transition lowers to all-to-alls (2: one per mesh axis)
+    with no all-gather/all-reduce and no global gather-of-the-matrix."""
+    n, block = 256, 32
+    a = jnp.asarray(rng.standard_normal((n, n)), jnp.float32)
+    txt = jax.jit(lambda a: relayout.to_block_cyclic(a, mesh2d, block)
+                  ).lower(a).compile().as_text()
+    assert txt.count("all-to-all") > 0
+    assert txt.count("all-gather") == 0
+    assert txt.count("all-reduce") == 0
+
+
+def test_block_cyclic_cholesky_uses_scheduled_relayout(mesh2d, rng):
+    """block_cyclic_cholesky(relayout='all_to_all') == 'gather' == scipy,
+    and its HLO carries the all_to_all layout transition."""
+    from cugp_tpu.ops import kernels as kops
+    from cugp_tpu.parallel import block_cyclic
+
+    n, d, block = 256, 2, 32
+    X = jnp.asarray(rng.uniform(-2, 2, size=(n, d)), jnp.float32)
+    p = kops.init_params(d=d, lengthscale=1.2, noise_var=0.05)
+    K = kops.train_covariance_xla(p, X, kind="rbf", jitter=1e-6)
+
+    L_sched = block_cyclic.block_cyclic_cholesky(K, mesh2d, block=block)
+    L_gather = block_cyclic.block_cyclic_cholesky(K, mesh2d, block=block,
+                                                  relayout="gather")
+    L_ref = jnp.linalg.cholesky(K)
+    np.testing.assert_allclose(np.asarray(L_sched), np.asarray(L_gather),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(L_sched), np.asarray(L_ref),
+                               rtol=1e-4, atol=1e-5)
+
+    txt = jax.jit(lambda K: block_cyclic.block_cyclic_cholesky(
+        K, mesh2d, block=block)).lower(K).compile().as_text()
+    assert txt.count("all-to-all") > 0
