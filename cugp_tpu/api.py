@@ -474,3 +474,69 @@ class SVGP:
         return svgp_mod.elbo(self.params, self.Z, self.vp, X, y,
                              kind=self.kind, jitter=self.jitter,
                              likelihood=self.likelihood)
+
+
+@dataclasses.dataclass
+class MultiOutputGP:
+    """Correlated multi-output GP regression (LMC / intrinsic
+    coregionalization, models/lmc.py).
+
+    Joint prior covariance B (x) K with learnable low-rank-plus-diagonal
+    B = A A^T + diag(softplus(raw_d)); solved exactly at O(p n^3) via the
+    eigendecomposition rotation (no pn x pn matrix). For UNCORRELATED
+    outputs sharing one kernel use GP with exact_gp.*_multi instead.
+    """
+
+    kind: str = "rbf"
+    jitter: float = 1e-6
+    method: str = "auto"
+    rank: int = 1
+    params: Optional[dict] = None
+    X: Optional[Any] = None
+    Y: Optional[Any] = None
+
+    def fit(self, X, Y, *, steps=200, learning_rate=0.05, init=None,
+            seed=0):
+        from cugp_tpu.models import lmc
+
+        X = jnp.asarray(X, jnp.float32)
+        Y = jnp.asarray(Y, jnp.float32)
+        if Y.ndim != 2:
+            raise ValueError(f"Y must be (n, p); got {Y.shape}")
+        if init is None:
+            init = lmc.init_lmc_params(d=X.shape[1], p=Y.shape[1],
+                                       q=self.rank, seed=seed)
+        params, info = lmc.fit(init, X, Y, kind=self.kind,
+                               jitter=self.jitter, method=self.method,
+                               steps=steps, learning_rate=learning_rate)
+        self.params, self.X, self.Y = params, X, Y
+        return info
+
+    def predict(self, Xs, *, include_noise=False, full_output_cov=False):
+        """Mean (m, p) and per-point output variance (m, p) — or the full
+        (m, p, p) cross-output covariance with full_output_cov=True."""
+        from cugp_tpu.models import lmc
+
+        if self.params is None:
+            raise RuntimeError("call fit() first")
+        return lmc.posterior_lmc(
+            self.params, self.X, self.Y, jnp.asarray(Xs, jnp.float32),
+            kind=self.kind, jitter=self.jitter, method=self.method,
+            include_noise=include_noise, full_output_cov=full_output_cov)
+
+    def log_marginal_likelihood(self):
+        from cugp_tpu.models import lmc
+
+        if self.params is None:
+            raise RuntimeError("call fit() first")
+        return lmc.log_marginal_likelihood_lmc(
+            self.params, self.X, self.Y, kind=self.kind,
+            jitter=self.jitter, method=self.method)
+
+    def output_correlation(self):
+        """Fitted B normalized to a correlation matrix (p, p)."""
+        from cugp_tpu.models import lmc
+
+        B = lmc.coregionalization(self.params)
+        s = jnp.sqrt(jnp.diagonal(B))
+        return B / (s[:, None] * s[None, :])

@@ -1,0 +1,126 @@
+"""LMC multi-output GP vs the float64 dense-Kronecker oracle
+(round-2 VERDICT missing #6: LMC coregionalization)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cugp_tpu.models import lmc
+from cugp_tpu.oracle import lmc_np
+
+
+def _toy(n=64, m=16, d=2, p=3, q=2, seed=0):
+    rng = np.random.default_rng(seed)
+    X = rng.uniform(-2, 2, size=(n, d))
+    Xs = rng.uniform(-2, 2, size=(m, d))
+    params = lmc.init_lmc_params(d=d, p=p, q=q, lengthscale=1.0,
+                                 noise_var=0.05, seed=seed)
+    # correlated outputs drawn from the model's own prior (float64)
+    B = lmc_np.coregionalization(params)
+    from cugp_tpu.oracle import exact_gp_np as gp_np
+    Kf = gp_np.kernel_matrix(
+        {k: np.asarray(v, np.float64) for k, v in params.items()}, X, X,
+        "rbf")
+    Kbig = np.kron(B, Kf) + 1e-8 * np.eye(p * n)
+    f = np.linalg.cholesky(Kbig) @ rng.standard_normal(p * n)
+    Y = f.reshape(p, n).T + 0.2 * rng.standard_normal((n, p))
+    return params, X, Y, Xs
+
+
+def test_lml_matches_dense_kron_oracle():
+    params, X, Y, Xs = _toy()
+    got = float(lmc.log_marginal_likelihood_lmc(
+        params, jnp.asarray(X, jnp.float32), jnp.asarray(Y, jnp.float32)))
+    want = lmc_np.log_marginal_likelihood(params, X, Y)
+    assert abs(got - want) / abs(want) < 1e-4
+
+
+def test_posterior_matches_dense_kron_oracle():
+    params, X, Y, Xs = _toy()
+    mean, cov = lmc.posterior_lmc(
+        params, jnp.asarray(X, jnp.float32), jnp.asarray(Y, jnp.float32),
+        jnp.asarray(Xs, jnp.float32), full_output_cov=True)
+    mean64, cov64 = lmc_np.posterior(params, X, Y, Xs)
+    np.testing.assert_allclose(np.asarray(mean), mean64, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(cov), cov64, atol=1e-3)
+    # diagonal variant agrees with the full one's diagonal
+    _, var = lmc.posterior_lmc(
+        params, jnp.asarray(X, jnp.float32), jnp.asarray(Y, jnp.float32),
+        jnp.asarray(Xs, jnp.float32))
+    np.testing.assert_allclose(
+        np.asarray(var), np.asarray(jnp.diagonal(
+            jnp.asarray(cov), axis1=1, axis2=2)), atol=1e-5)
+
+
+def test_independent_outputs_reduce_to_shared_kernel_multi():
+    """With B = I (A=0, softplus(raw_d)=1), LMC == the independent
+    shared-kernel multi-output LML of exact_gp."""
+    from cugp_tpu.models import exact_gp
+
+    params, X, Y, _ = _toy(p=2, q=1)
+    params = dict(params)
+    params["lmc_A"] = jnp.zeros_like(params["lmc_A"])
+    # softplus(raw_d) + 1e-6 = 1
+    raw = np.log(np.expm1(1.0 - 1e-6))
+    params["lmc_raw_d"] = jnp.full_like(params["lmc_raw_d"], raw)
+    Xj, Yj = jnp.asarray(X, jnp.float32), jnp.asarray(Y, jnp.float32)
+    got = float(lmc.log_marginal_likelihood_lmc(params, Xj, Yj))
+    want = float(exact_gp.log_marginal_likelihood_multi(params, Xj, Yj))
+    assert abs(got - want) / abs(want) < 1e-5
+
+
+def test_fit_learns_output_correlation():
+    """Two strongly correlated outputs: the fitted B must show it."""
+    rng = np.random.default_rng(3)
+    n, d = 96, 1
+    X = rng.uniform(-2, 2, size=(n, d))
+    base = np.sin(2.0 * X[:, 0])
+    Y = np.stack([base + 0.05 * rng.standard_normal(n),
+                  -0.8 * base + 0.05 * rng.standard_normal(n)], axis=1)
+    init = lmc.init_lmc_params(d=d, p=2, q=1, lengthscale=1.0,
+                               noise_var=0.1, seed=1)
+    params, info = lmc.fit(init, jnp.asarray(X, jnp.float32),
+                           jnp.asarray(Y, jnp.float32), steps=150,
+                           learning_rate=0.05)
+    assert np.isfinite(float(info["lml"]))
+    B = np.asarray(lmc.coregionalization(params))
+    corr = B[0, 1] / np.sqrt(B[0, 0] * B[1, 1])
+    assert corr < -0.5  # anti-correlated outputs discovered
+
+    # correlated model beats the independent baseline in LML
+    from cugp_tpu.models import exact_gp
+    indep = float(exact_gp.log_marginal_likelihood_multi(
+        params, jnp.asarray(X, jnp.float32), jnp.asarray(Y, jnp.float32)))
+    got = float(lmc.log_marginal_likelihood_lmc(
+        params, jnp.asarray(X, jnp.float32), jnp.asarray(Y, jnp.float32)))
+    assert got > indep
+
+
+def test_lmc_gradients_finite():
+    params, X, Y, _ = _toy(n=32, p=2, q=1)
+    g = jax.grad(lambda p: -lmc.log_marginal_likelihood_lmc(
+        p, jnp.asarray(X, jnp.float32), jnp.asarray(Y, jnp.float32)))(params)
+    for k, v in g.items():
+        assert np.all(np.isfinite(np.asarray(v))), k
+
+
+def test_multioutput_gp_api():
+    from cugp_tpu import MultiOutputGP
+
+    rng = np.random.default_rng(0)
+    X = rng.uniform(-2, 2, (80, 1))
+    base = np.sin(2 * X[:, 0])
+    Y = np.stack([base, 0.7 * base], 1) + 0.05 * rng.standard_normal((80, 2))
+    m = MultiOutputGP(rank=1)
+    info = m.fit(X, Y, steps=100)
+    assert np.isfinite(float(info["lml"]))
+    corr = float(np.asarray(m.output_correlation())[0, 1])
+    assert corr > 0.9
+    mu, var = m.predict(X[:10])
+    assert mu.shape == (10, 2) and var.shape == (10, 2)
+    assert np.all(np.asarray(var) >= 0)
+    mu2, cov = m.predict(X[:10], full_output_cov=True)
+    assert cov.shape == (10, 2, 2)
+    with pytest.raises(ValueError, match=r"\(n, p\)"):
+        MultiOutputGP().fit(X, Y[:, 0])
