@@ -81,10 +81,13 @@ def main(argv=None):
         res = jnp.linalg.norm(mv(alpha) - yj) / jnp.linalg.norm(yj)
         return alpha, iters, res
 
+    print(f"# solve compile+run (n={n}) ...", file=sys.stderr, flush=True)
     t0 = time.perf_counter()
     alpha, iters, res = solve(params, Xj, yj)
     _barrier(res)
     t_first = time.perf_counter() - t0
+    print(f"# solve first call {t_first:.1f}s iters={int(iters)}",
+          file=sys.stderr, flush=True)
     t0 = time.perf_counter()
     alpha, iters, res = solve(params, Xj, yj)
     _barrier(res)
@@ -95,6 +98,7 @@ def main(argv=None):
                converged=bool(float(res) <= tol))
 
     # ---- SLQ LML at full n --------------------------------------------
+    print("# slq lml ...", file=sys.stderr, flush=True)
     t0 = time.perf_counter()
     lml = iterative.lml_iterative(params, Xj, yj, key=jax.random.key(1),
                                   kind="rbf", tol=tol, max_iters=max_iters,
@@ -115,6 +119,7 @@ def main(argv=None):
                slq_probes=probes, lanczos_steps=lanczos)
 
     # ---- accuracy: dense Cholesky cross-check on a subsample ----------
+    print("# dense cross-check ...", file=sys.stderr, flush=True)
     if dense_n and dense_n <= n:
         from cugp_tpu.models import exact_gp
         Xs = Xj[:dense_n]
@@ -130,12 +135,24 @@ def main(argv=None):
             params, Xs, ys, key=jax.random.key(1), kind="rbf", tol=tol,
             max_iters=max_iters, num_probes=probes, num_steps=lanczos,
             precond_rank=rank)
+        # direct logdet comparison — the honest SLQ metric (the LML can
+        # sit near zero, making its relative error meaningless)
+        Ks = kops.train_covariance(params, Xs, kind="rbf")
+        Ls = jnp.linalg.cholesky(Ks)
+        logdet_dn = 2.0 * jnp.sum(jnp.log(jnp.diagonal(Ls)))
+        mv_s = iterative.make_matvec(params, Xs, kind="rbf")
+        logdet_it = iterative.slq_logdet(
+            mv_s, dense_n, jax.random.key(1), num_probes=probes,
+            num_steps=lanczos)
         out.update(
             dense_check_n=dense_n,
             mean_abs_diff_vs_dense=float(jnp.max(jnp.abs(mu_it - mu_dn))),
             var_abs_diff_vs_dense=float(jnp.max(jnp.abs(var_it - var_dn))),
             lml_relerr_vs_dense=float(
                 jnp.abs(lml_it - lml_dn) / jnp.abs(lml_dn)),
+            logdet_dense=float(logdet_dn), logdet_slq=float(logdet_it),
+            logdet_relerr=float(
+                jnp.abs(logdet_it - logdet_dn) / jnp.abs(logdet_dn)),
         )
 
     # ---- accuracy: float64 oracle on a 2k subsample --------------------

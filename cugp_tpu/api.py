@@ -323,12 +323,15 @@ class GP:
 
 @dataclasses.dataclass
 class GPClassifier:
-    """Binary GP classification via the Laplace approximation (models/gpc).
+    """GP classification via the Laplace approximation.
 
-    Labels: anything binary — mapped internally to {-1, +1}. Kernel
-    hyperparameters are learned by maximizing the Laplace approximate
-    marginal likelihood; predict_proba returns p(y=+1 | x) under the
-    MacKay probit approximation.
+    Two classes route to the binary logistic model (models/gpc, GPML
+    Alg 3.1/3.2 — predict_proba returns p(y=classes_[1] | x) under the
+    MacKay probit approximation); three or more route to the multiclass
+    softmax model (models/gpc_multiclass, GPML Alg 3.3/3.4 —
+    predict_proba returns an (m, C) matrix in classes_ order). Labels may
+    be anything hashable; predict() returns them in their original form
+    via classes_.
     """
 
     kind: str = "rbf"
@@ -337,41 +340,66 @@ class GPClassifier:
     params: Optional[dict] = None
     X: Optional[Any] = None
     y: Optional[Any] = None
+    classes_: Optional[Any] = None
 
     def _data(self, X, y):
         X = jnp.asarray(X, jnp.float32)
         y = np.asarray(y)
         classes = np.unique(y)
-        if classes.shape[0] != 2:
-            raise ValueError(f"need exactly 2 classes, got {classes}")
-        ypm = np.where(y == classes[1], 1.0, -1.0).astype(np.float32)
-        return X, jnp.asarray(ypm)
+        if classes.shape[0] < 2:
+            raise ValueError(f"need at least 2 classes, got {classes}")
+        self.classes_ = classes
+        if classes.shape[0] == 2:
+            ypm = np.where(y == classes[1], 1.0, -1.0).astype(np.float32)
+            return X, jnp.asarray(ypm)
+        idx = np.searchsorted(classes, y)
+        from cugp_tpu.models import gpc_multiclass
+
+        return X, gpc_multiclass.one_hot(idx, classes.shape[0])
+
+    @property
+    def _multiclass(self):
+        return self.classes_ is not None and len(self.classes_) > 2
 
     def fit(self, X, y, *, steps=100, learning_rate=0.05, init=None,
             num_newton=20):
-        from cugp_tpu.models import gpc
-
-        X, ypm = self._data(X, y)
+        X, yenc = self._data(X, y)
         if init is None:
             init = kernel_ops.default_init(self.kind, d=X.shape[1])
-        params, info = gpc.fit(
-            init, X, ypm, kind=self.kind, jitter=self.jitter,
+        if self._multiclass:
+            from cugp_tpu.models import gpc_multiclass as model
+        else:
+            from cugp_tpu.models import gpc as model
+        params, info = model.fit(
+            init, X, yenc, kind=self.kind, jitter=self.jitter,
             method=self.method, steps=steps, learning_rate=learning_rate,
             num_newton=num_newton)
-        self.params, self.X, self.y = params, X, ypm
+        self.params, self.X, self.y = params, X, yenc
         return info
 
     def predict_proba(self, Xs, *, num_newton=20):
+        Xs = jnp.asarray(Xs, jnp.float32)
+        if self._multiclass:
+            from cugp_tpu.models import gpc_multiclass
+
+            p, _, _ = gpc_multiclass.predict_proba(
+                self.params, self.X, self.y, Xs, kind=self.kind,
+                jitter=self.jitter, method=self.method,
+                num_newton=num_newton)
+            return p
         from cugp_tpu.models import gpc
 
         p, _, _ = gpc.predict_proba(
-            self.params, self.X, self.y, jnp.asarray(Xs, jnp.float32),
+            self.params, self.X, self.y, Xs,
             kind=self.kind, jitter=self.jitter, method=self.method,
             num_newton=num_newton)
         return p
 
     def predict(self, Xs):
-        return jnp.where(self.predict_proba(Xs) > 0.5, 1, -1)
+        proba = self.predict_proba(Xs)
+        if self._multiclass:
+            return self.classes_[np.asarray(jnp.argmax(proba, axis=1))]
+        return self.classes_[np.asarray(proba > 0.5, dtype=np.int64)]
 
 
 @dataclasses.dataclass

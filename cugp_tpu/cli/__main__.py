@@ -228,21 +228,31 @@ def cmd_svgp(cfg):
 
 
 def cmd_classify(cfg):
-    """Binary GP classification (Laplace) on the two-moons dataset."""
+    """GP classification (Laplace): two-moons (binary) by default, or the
+    multiclass Gaussian-blobs dataset via --data.num_classes>=3 (softmax
+    Laplace, models/gpc_multiclass)."""
     from cugp_tpu.api import GPClassifier
     from cugp_tpu.data import synthetic
 
-    X, y = synthetic.two_moons(n=cfg.data.n, noise_std=cfg.data.noise_std,
-                               seed=cfg.data.seed)
+    num_classes = getattr(cfg.data, "num_classes", 2)
+    if num_classes > 2:
+        X, y = synthetic.gaussian_blobs(n=cfg.data.n,
+                                        num_classes=num_classes,
+                                        seed=cfg.data.seed)
+    else:
+        X, y = synthetic.two_moons(n=cfg.data.n,
+                                   noise_std=cfg.data.noise_std,
+                                   seed=cfg.data.seed)
     clf = GPClassifier(kind=cfg.model.kind, jitter=cfg.model.jitter,
                        method=cfg.model.method)
     t0 = time.perf_counter()
     info = clf.fit(X, y, steps=cfg.fit.steps,
                    learning_rate=cfg.fit.learning_rate)
-    p = np.asarray(clf.predict_proba(X))
-    acc = float(np.mean((p > 0.5) == (y > 0)))
+    pred = np.asarray(clf.predict(X))
+    acc = float(np.mean(pred == np.asarray(y)))
     print(json.dumps({
         "seconds": round(time.perf_counter() - t0, 3),
+        "num_classes": int(num_classes),
         "laplace_lml": float(np.asarray(info["lml"])),
         "train_accuracy": acc,
         "params": {k: np.asarray(v).tolist() for k, v in clf.params.items()},

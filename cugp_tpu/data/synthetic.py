@@ -115,6 +115,27 @@ def two_moons(n=200, noise_std=0.15, seed=0):
     return X[perm].astype(np.float32), y[perm].astype(np.float32)
 
 
+def gaussian_blobs(n=300, num_classes=3, d=2, spread=0.6, seed=0):
+    """Multiclass classification dataset: num_classes Gaussian blobs on a
+    circle of radius 2. Returns (X (n,d) float32, y (n,) int32 labels).
+    """
+    rng = np.random.default_rng(seed)
+    per = n // num_classes
+    Xs, ys = [], []
+    for c in range(num_classes):
+        angle = 2.0 * np.pi * c / num_classes
+        center = np.zeros(d)
+        center[0] = 2.0 * np.cos(angle)
+        center[min(1, d - 1)] += 2.0 * np.sin(angle)
+        cnt = per if c < num_classes - 1 else n - per * (num_classes - 1)
+        Xs.append(center + spread * rng.standard_normal((cnt, d)))
+        ys.append(np.full(cnt, c))
+    X = np.concatenate(Xs)
+    y = np.concatenate(ys)
+    perm = rng.permutation(n)
+    return X[perm].astype(np.float32), y[perm].astype(np.int32)
+
+
 def host_shard(X, y, process_index, process_count):
     """Contiguous row shard for this host (multi-host data feeding)."""
     n = X.shape[0]

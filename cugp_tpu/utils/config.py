@@ -31,6 +31,7 @@ class DataConfig:
     noise_std: float = 0.1
     seed: int = 0
     path: Optional[str] = None   # for dataset="npz": file with X, y arrays
+    num_classes: int = 2         # classify: >=3 routes to softmax Laplace
 
 
 @dataclasses.dataclass
