@@ -73,16 +73,38 @@ def worker():
     kdiag = float(jnp.min(jnp.diagonal(K2d)))
     assert kdiag > 0.0, kdiag
 
+    # checkpoint cycle across the process boundary: process 0 writes
+    # (utils/checkpoint.save is a no-op on other ranks), everyone
+    # barriers, every rank restores collective-free and must see the
+    # same values (VERDICT round-2 item #8)
+    from jax.experimental import multihost_utils
+
+    from cugp_tpu.utils import checkpoint as ckpt
+
+    ck_dir = os.path.join(os.environ["CKPT_DIR"], "mh_ck")
+    saved = {k: np.asarray(v_) for k, v_ in params.items()}
+    saved["lml"] = np.float32(v2)
+    ckpt.save(ck_dir, saved, step=7)
+    multihost_utils.sync_global_devices("ckpt_written")
+    restored, meta = ckpt.restore(ck_dir, saved)
+    assert meta["step"] == 7, meta
+    for k in saved:
+        np.testing.assert_array_equal(np.asarray(restored[k]), saved[k])
+
     if info.process_index == 0:
         print(f"MULTIHOST_OK procs={info.process_count} "
               f"devices={info.global_devices} lml={v:.3f} "
-              f"dist_lml={v2:.3f} relayout_ok=True")
+              f"dist_lml={v2:.3f} relayout_ok=True ckpt_ok=True")
 
 
 def launcher(procs=2):
-    port = 8476
+    import tempfile
+
+    port = 8476 + procs  # distinct port per config so 2- and 4-proc runs
+    # can follow each other without TIME_WAIT collisions
     env_base = dict(os.environ)
     env_base.pop("JAX_PLATFORMS", None)
+    ck_root = tempfile.mkdtemp(prefix="mh_ckpt_")
     procs_list = []
     for i in range(procs):
         env = dict(env_base)
@@ -91,6 +113,7 @@ def launcher(procs=2):
             "COORD": f"127.0.0.1:{port}",
             "NPROCS": str(procs),
             "PID_IDX": str(i),
+            "CKPT_DIR": ck_root,
             # 4 virtual CPU devices per process -> a real 2D ('r','c')
             # grid spanning processes, so the relayout all_to_all and the
             # block-cyclic collectives genuinely cross the DCN boundary
