@@ -69,10 +69,18 @@ def main(argv=None):
            "backend": jax.default_backend()}
 
     # ---- posterior solve: preconditioned CG for alpha = K^-1 y --------
+    # TWO programs: the rank-k pivot scan (preconditioner factors) and
+    # the CG loop. The fused single program crashes the tunneled TPU
+    # worker at n >= 64k (bisected round 3: matvec alone, precond alone,
+    # and plain CG each run fine at 65k; only the fusion faults) — and
+    # the split lets one preconditioner serve every solve anyway.
+    factors = jax.jit(lambda p, X: iterative.precond_factors(
+        p, X, rank, kind="rbf"))
+
     @jax.jit
-    def solve(params, Xj, yj):
+    def solve(params, Xj, yj, Lk, Lg, s2):
         mv = iterative.make_matvec(params, Xj, kind="rbf")
-        pre = iterative.make_pivoted_precond(params, Xj, rank, kind="rbf")
+        pre = iterative.precond_apply_from_factors(Lk, Lg, s2)
         alpha, iters = iterative.cg_solve(mv, yj, tol=tol,
                                           max_iters=max_iters,
                                           precond_apply=pre)
@@ -81,15 +89,28 @@ def main(argv=None):
         res = jnp.linalg.norm(mv(alpha) - yj) / jnp.linalg.norm(yj)
         return alpha, iters, res
 
+    print(f"# precond factors (n={n}, rank={rank}) ...", file=sys.stderr,
+          flush=True)
+    t0 = time.perf_counter()
+    Lk, Lg, s2 = factors(params, Xj)
+    _barrier(Lg)
+    t_pre_first = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    Lk, Lg, s2 = factors(params, Xj)
+    _barrier(Lg)
+    t_pre = time.perf_counter() - t0
+    out.update(precond_wall_s=round(t_pre, 2),
+               precond_compile_s=round(t_pre_first - t_pre, 2))
+
     print(f"# solve compile+run (n={n}) ...", file=sys.stderr, flush=True)
     t0 = time.perf_counter()
-    alpha, iters, res = solve(params, Xj, yj)
+    alpha, iters, res = solve(params, Xj, yj, Lk, Lg, s2)
     _barrier(res)
     t_first = time.perf_counter() - t0
     print(f"# solve first call {t_first:.1f}s iters={int(iters)}",
           file=sys.stderr, flush=True)
     t0 = time.perf_counter()
-    alpha, iters, res = solve(params, Xj, yj)
+    alpha, iters, res = solve(params, Xj, yj, Lk, Lg, s2)
     _barrier(res)
     t_solve = time.perf_counter() - t0
     out.update(cg_iters=int(iters), rel_residual=float(res),
@@ -100,17 +121,15 @@ def main(argv=None):
     # ---- SLQ LML at full n --------------------------------------------
     print("# slq lml ...", file=sys.stderr, flush=True)
     t0 = time.perf_counter()
-    lml = iterative.lml_iterative(params, Xj, yj, key=jax.random.key(1),
-                                  kind="rbf", tol=tol, max_iters=max_iters,
-                                  num_probes=probes, num_steps=lanczos,
-                                  precond_rank=rank)
+    lml_fn = jax.jit(lambda p, X, y, Lk, Lg, s2: iterative.lml_iterative(
+        p, X, y, key=jax.random.key(1), kind="rbf", tol=tol,
+        max_iters=max_iters, num_probes=probes, num_steps=lanczos,
+        precond=(Lk, Lg, s2)))
+    lml = lml_fn(params, Xj, yj, Lk, Lg, s2)
     _barrier(lml)
     t_first = time.perf_counter() - t0
     t0 = time.perf_counter()
-    lml = iterative.lml_iterative(params, Xj, yj, key=jax.random.key(1),
-                                  kind="rbf", tol=tol, max_iters=max_iters,
-                                  num_probes=probes, num_steps=lanczos,
-                                  precond_rank=rank)
+    lml = lml_fn(params, Xj, yj, Lk, Lg, s2)
     _barrier(lml)
     t_lml = time.perf_counter() - t0
     out.update(lml=float(lml), lml_per_point=round(float(lml) / n, 4),

@@ -119,9 +119,16 @@ class GP:
         Xs = jnp.asarray(Xs, dtype=jnp.float32)
         if self.basis is not None:
             if full_cov:
-                raise NotImplementedError(
-                    "full_cov with an explicit basis: use posterior_basis "
-                    "pieces directly")
+                if include_noise:
+                    raise ValueError("full_cov returns the latent posterior"
+                                     " covariance; include_noise applies to"
+                                     " the diagonal path only")
+                mu, cov, beta = exact_gp.posterior_basis_full_cov(
+                    self.params, self.X, self.y, Xs, kind=self.kind,
+                    jitter=self.jitter, method=self.method,
+                    basis=self.basis)
+                self.beta = beta
+                return mu, cov
             mu, var, beta = exact_gp.posterior_basis(
                 self.params, self.X, self.y, Xs, kind=self.kind,
                 jitter=self.jitter, method=self.method, basis=self.basis,

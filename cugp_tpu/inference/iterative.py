@@ -176,14 +176,17 @@ def pivoted_cholesky(params, X, rank, kind="rbf"):
     return Lk, jnp.sum(dres)
 
 
-def make_pivoted_precond(params, X, rank, kind="rbf", jitter=1e-6):
-    """P^-1 apply for P = Lk Lk^T + s2 I via Woodbury (s2 = noise+jitter).
+def precond_factors(params, X, rank, kind="rbf", jitter=1e-6):
+    """Arrays (Lk, Lg, s2) for P = Lk Lk^T + s2 I (s2 = noise+jitter).
 
-    P^-1 r = (r - Lk (s2 I_k + Lk^T Lk)^-1 Lk^T r) / s2 — a rank-k solve
-    per CG iteration (k x k Cholesky precomputed once).
+    Run this as its OWN jitted program and feed the factors to
+    precond_apply_from_factors / cg_solve. Splitting the rank-k pivot
+    scan out of the CG program matters on the tunneled chip: the fused
+    scan+while_loop program crashes the remote TPU worker at n >= 64k,
+    and the split is better engineering anyway (one preconditioner
+    serves every solve at the same hyperparameters).
     """
     from cugp_tpu.ops import cholesky as chol_ops
-    from cugp_tpu.ops import trsm as trsm_ops
 
     sf2 = kernel_ops.signal_scale(params)
     s2 = jnp.exp(params["log_noise_var"]) + jitter * sf2
@@ -191,6 +194,14 @@ def make_pivoted_precond(params, X, rank, kind="rbf", jitter=1e-6):
     G = s2 * jnp.eye(rank, dtype=X.dtype) + jnp.matmul(
         Lk.mT, Lk, precision=_HI)
     Lg = chol_ops.cholesky(G, method="xla")
+    return Lk, Lg, s2
+
+
+def precond_apply_from_factors(Lk, Lg, s2):
+    """P^-1 apply from precomputed factors, via Woodbury:
+    P^-1 r = (r - Lk (s2 I_k + Lk^T Lk)^-1 Lk^T r) / s2 — a rank-k solve
+    per CG iteration (the k x k Cholesky Lg is already done)."""
+    from cugp_tpu.ops import trsm as trsm_ops
 
     def apply_p(r):
         t = jnp.matmul(Lk.mT, r, precision=_HI)          # (k, rhs)
@@ -198,6 +209,14 @@ def make_pivoted_precond(params, X, rank, kind="rbf", jitter=1e-6):
         return (r - jnp.matmul(Lk, t, precision=_HI)) / s2
 
     return apply_p
+
+
+def make_pivoted_precond(params, X, rank, kind="rbf", jitter=1e-6):
+    """One-program convenience: precond_factors + apply closure (the BBMM
+    preconditioner). For n >= ~64k on the tunneled chip, call the two
+    pieces separately (see precond_factors)."""
+    return precond_apply_from_factors(
+        *precond_factors(params, X, rank, kind=kind, jitter=jitter))
 
 
 def cg_solve(matvec, b, tol=1e-6, max_iters=1000, precond_diag=None,
@@ -333,7 +352,7 @@ def slq_logdet(matvec, n, key, num_probes=16, num_steps=32):
                                    "precond_rank"))
 def lml_iterative(params, X, y, key=None, kind="rbf", jitter=1e-6,
                   block=4096, tol=1e-5, max_iters=500, num_probes=16,
-                  num_steps=32, precond_rank=0):
+                  num_steps=32, precond_rank=0, precond=None):
     """LML via CG (quadratic term) + SLQ (logdet). Matrix-free.
 
     Stochastic in the logdet term: MC error ~ O(1/sqrt(num_probes)) —
@@ -341,14 +360,19 @@ def lml_iterative(params, X, y, key=None, kind="rbf", jitter=1e-6,
     cannot run; use the dense path when it fits.
     precond_rank > 0: pivoted-Cholesky preconditioned CG (the BBMM
     recipe) — large lengthscale / small noise kernels converge in far
-    fewer iterations.
+    fewer iterations. precond: precomputed (Lk, Lg, s2) factors from
+    precond_factors (takes precedence; keeps this program small at
+    n >= 64k — see precond_factors docstring).
     """
     kernel_ops.validate_kind(kind)
     if key is None:
         key = jax.random.key(0)
     mv = make_matvec(params, X, kind=kind, jitter=jitter, block=block)
-    pre = (make_pivoted_precond(params, X, precond_rank, kind=kind,
-                                jitter=jitter) if precond_rank else None)
+    if precond is not None:
+        pre = precond_apply_from_factors(*precond)
+    else:
+        pre = (make_pivoted_precond(params, X, precond_rank, kind=kind,
+                                    jitter=jitter) if precond_rank else None)
     alpha, _ = cg_solve(mv, y, tol=tol, max_iters=max_iters,
                         precond_apply=pre)
     n = y.shape[0]

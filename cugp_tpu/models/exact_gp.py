@@ -249,6 +249,36 @@ def posterior_basis(params, X, y, Xs, kind="rbf", jitter=1e-6, method="auto",
     return mu, jnp.maximum(var, 0.0), beta
 
 
+@partial(jax.jit, static_argnames=("kind", "jitter", "method", "basis"))
+def posterior_basis_full_cov(params, X, y, Xs, kind="rbf", jitter=1e-6,
+                             method="auto", basis="linear"):
+    """Posterior mean and FULL covariance with the marginalized basis
+    (GPML eq. 2.42): cov = cov_0 + R^T A^-1 R with
+    R = H(Xs) - H K^-1 K*. Returns (mu, cov, beta_hat)."""
+    L, alpha = _factorize(params, X, y, kind, jitter, method)
+    Ks = kernel_ops.cross_covariance(params, X, Xs, kind=kind, method=method)
+    Kss = kernel_ops.cross_covariance(params, Xs, Xs, kind=kind,
+                                      method=method)
+    mu0 = jnp.einsum("nm,n->m", Ks, alpha,
+                     precision=jax.lax.Precision.HIGHEST)
+    solve_method = "xla" if method == "auto" else method
+    V = trsm_ops.solve_lx(L, Ks, method=solve_method)
+    cov0 = Kss - jnp.matmul(V.T, V, precision=jax.lax.Precision.HIGHEST)
+
+    H = basis_matrix(X, basis)
+    Hs = basis_matrix(Xs, basis)
+    A, c, KinvHt = _basis_terms(L, y, H, method)
+    La = chol_ops.cholesky(A, method="xla")
+    beta = trsm_ops.cho_solve(La, c, method="xla")
+    R = Hs - jnp.matmul(KinvHt.mT, Ks,
+                        precision=jax.lax.Precision.HIGHEST)  # (m_b, ns)
+    mu = mu0 + jnp.einsum("bm,b->m", R, beta,
+                          precision=jax.lax.Precision.HIGHEST)
+    W = trsm_ops.solve_lx(La, R, method="xla")
+    cov = cov0 + jnp.matmul(W.T, W, precision=jax.lax.Precision.HIGHEST)
+    return mu, cov, beta
+
+
 @partial(jax.jit, static_argnames=("kind", "jitter", "method"))
 def lml_gradients_analytic(params, X, y, kind="rbf", jitter=1e-6, method="auto"):
     """Analytic LML gradients: 1/2 tr((alpha alpha^T - K^{-1}) dK/dtheta).

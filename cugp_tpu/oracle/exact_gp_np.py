@@ -236,6 +236,34 @@ def posterior_basis(params, X, y, Xs, kind="rbf", jitter=1e-6,
     return mu, np.maximum(var, 0.0), beta
 
 
+def posterior_basis_full_cov(params, X, y, Xs, kind="rbf", jitter=1e-6,
+                             basis="linear"):
+    """Full posterior covariance with marginalized basis (GPML eq. 2.42)."""
+    p = _as_params(params)
+    X = np.asarray(X, np.float64)
+    y = np.asarray(y, np.float64)
+    Xs = np.asarray(Xs, np.float64)
+    L, alpha = _chol_factor(p, X, y, kind, jitter)
+    Ks = kernel_matrix(p, X, Xs, kind)
+    Kss = kernel_matrix(p, Xs, Xs, kind)
+    mu0 = Ks.T @ alpha
+    V = sla.solve_triangular(L, Ks, lower=True)
+    cov0 = Kss - V.T @ V
+    H = _basis_matrix(X, basis)
+    Hs = _basis_matrix(Xs, basis)
+    KinvHt = sla.cho_solve((L, True), H.T)
+    A = H @ KinvHt
+    m_b = A.shape[0]
+    A = A + 1e-8 * np.eye(m_b) * np.trace(A) / m_b
+    c = KinvHt.T @ y
+    La = sla.cholesky(A, lower=True)
+    beta = sla.cho_solve((La, True), c)
+    R = Hs - KinvHt.T @ Ks
+    mu = mu0 + R.T @ beta
+    W = sla.solve_triangular(La, R, lower=True)
+    return mu, cov0 + W.T @ W, beta
+
+
 def lml_gradients(params, X, y, kind="rbf", jitter=1e-6):
     """Analytic LML gradients w.r.t. log-hyperparameters.
 

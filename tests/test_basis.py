@@ -92,3 +92,41 @@ def test_gp_facade_with_basis(trended):
     assert abs(float(mu[0]) - 14.0) < 3.0  # 2 + 3*4
     np.testing.assert_allclose(np.asarray(gp.beta), [2.0, 3.0], atol=0.6)
     assert np.isfinite(float(gp.log_marginal_likelihood()))
+
+
+def test_posterior_basis_full_cov_matches_oracle(trended):
+    X, y, params = trended
+    Xs = np.linspace(-3, 3, 33)[:, None].astype(np.float32)
+    mu_r, cov_r, _beta = oracle.posterior_basis_full_cov(params, X, y, Xs)
+    mu, cov, _b = exact_gp.posterior_basis_full_cov(
+        params, jnp.asarray(X), jnp.asarray(y), jnp.asarray(Xs),
+        method="xla")
+    assert np.max(np.abs(np.asarray(mu) - mu_r)) < 1e-3
+    assert np.max(np.abs(np.asarray(cov) - cov_r)) < 1e-3
+    # diagonal must agree with the variance-only path
+    _mu2, var, _b2 = exact_gp.posterior_basis(
+        params, jnp.asarray(X), jnp.asarray(y), jnp.asarray(Xs),
+        method="xla")
+    assert np.max(np.abs(np.diagonal(np.asarray(cov))
+                         - np.asarray(var))) < 1e-4
+    # symmetric PSD (up to fp noise)
+    cov = np.asarray(cov, np.float64)
+    assert np.max(np.abs(cov - cov.T)) < 1e-5
+    assert np.linalg.eigvalsh(cov).min() > -1e-4
+
+
+def test_api_predict_full_cov_with_basis(trended):
+    from cugp_tpu import api
+
+    X, y, _params = trended
+    gp = api.GP(kind="rbf", basis="linear")
+    gp.fit(X, y, steps=30, learning_rate=0.1)
+    Xs = np.linspace(-2.5, 2.5, 17)[:, None].astype(np.float32)
+    mu, cov = gp.predict(Xs, full_cov=True)
+    assert np.asarray(cov).shape == (17, 17)
+    mu_d, var_d = gp.predict(Xs)
+    assert np.max(np.abs(np.asarray(mu) - np.asarray(mu_d))) < 1e-5
+    assert np.max(np.abs(np.diagonal(np.asarray(cov))
+                         - np.asarray(var_d))) < 1e-4
+    with pytest.raises(ValueError):
+        gp.predict(Xs, full_cov=True, include_noise=True)
