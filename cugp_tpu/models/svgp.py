@@ -101,21 +101,23 @@ def init_variational(num_inducing, dtype=jnp.float32):
 KMM_JITTER_FLOOR = 1e-4
 
 
-def _kmm_chol(params, Z, kind, jitter):
+def _kmm_chol(params, Z, kind, jitter, kmm_jitter=None):
     from cugp_tpu.models import exact_gp
 
+    if kmm_jitter is None:
+        kmm_jitter = KMM_JITTER_FLOOR
     mm = Z.shape[0]
     sf2 = kernel_ops.signal_scale(params)
     Kmm = kernel_ops.cross_covariance_xla(params, Z, Z, kind)
-    Kmm = Kmm + (jitter + KMM_JITTER_FLOOR) * sf2 * jnp.eye(mm, dtype=Kmm.dtype)
+    Kmm = Kmm + (jitter + kmm_jitter) * sf2 * jnp.eye(mm, dtype=Kmm.dtype)
     return exact_gp.safe_cholesky(Kmm, sf2, method="xla", max_attempts=3,
                                   jitter0=1e-4)
 
 
-def _qf(params, Z, vp, Xb, kind, jitter):
+def _qf(params, Z, vp, Xb, kind, jitter, kmm_jitter=None):
     """Marginal q(f) mean/variance at the batch inputs."""
     mm = Z.shape[0]
-    L = _kmm_chol(params, Z, kind, jitter)
+    L = _kmm_chol(params, Z, kind, jitter, kmm_jitter)
     Kmb = kernel_ops.cross_covariance_xla(params, Z, Xb, kind)
     A = jax.lax.linalg.triangular_solve(L, Kmb, left_side=True, lower=True)
     C = chol_from_flat(vp["c"], mm)
@@ -163,14 +165,16 @@ def kl_whitened(vp):
     return 0.5 * (jnp.sum(vp["m"] ** 2) + jnp.sum(C * C) - mm - logdet)
 
 
-@partial(jax.jit, static_argnames=("kind", "jitter", "likelihood"))
+@partial(jax.jit, static_argnames=("kind", "jitter", "likelihood",
+                                   "kmm_jitter"))
 def elbo(params, Z, vp, X, y, kind="rbf", jitter=1e-6,
-         likelihood="gaussian", scale=1.0):
+         likelihood="gaussian", scale=1.0, kmm_jitter=None):
     """SVGP bound on a batch; `scale` = n_total / batch for minibatches.
 
     With likelihood='gaussian', scale=1, and vp = optimal_variational(...),
-    equals models/sgpr.elbo (tested)."""
-    mu, var = _qf(params, Z, vp, X, kind, jitter)
+    equals models/sgpr.elbo (tested). kmm_jitter: relative K_mm jitter
+    floor (default KMM_JITTER_FLOOR; see its comment for the tradeoff)."""
+    mu, var = _qf(params, Z, vp, X, kind, jitter, kmm_jitter)
     sn2 = (jnp.exp(params["log_noise_var"])
            if likelihood in ("gaussian", "student_t") else None)
     nu = student_t_nu(params) if likelihood == "student_t" else None
@@ -184,8 +188,9 @@ def elbo(params, Z, vp, X, y, kind="rbf", jitter=1e-6,
 _WARMSTART_CHUNK = 8192
 
 
-@partial(jax.jit, static_argnames=("kind", "jitter"))
-def optimal_variational(params, Z, X, y, kind="rbf", jitter=1e-6):
+@partial(jax.jit, static_argnames=("kind", "jitter", "kmm_jitter"))
+def optimal_variational(params, Z, X, y, kind="rbf", jitter=1e-6,
+                        kmm_jitter=None):
     """Closed-form optimal whitened q(v) for the Gaussian likelihood.
 
     S = (I + A A^T / sn2)^{-1}, m = S A y / sn2 — at these values the
@@ -195,7 +200,7 @@ def optimal_variational(params, Z, X, y, kind="rbf", jitter=1e-6):
     mm = Z.shape[0]
     n = X.shape[0]
     sn2 = jnp.exp(params["log_noise_var"])
-    L = _kmm_chol(params, Z, kind, jitter)
+    L = _kmm_chol(params, Z, kind, jitter, kmm_jitter)
     if n <= _WARMSTART_CHUNK:
         Kmn = kernel_ops.cross_covariance_xla(params, Z, X, kind)
         A = jax.lax.linalg.triangular_solve(L, Kmn, left_side=True,
@@ -233,9 +238,9 @@ def optimal_variational(params, Z, X, y, kind="rbf", jitter=1e-6):
 
 
 @partial(jax.jit, static_argnames=("kind", "jitter", "include_noise",
-                                   "likelihood"))
+                                   "likelihood", "kmm_jitter"))
 def posterior(params, Z, vp, Xs, kind="rbf", jitter=1e-6,
-              include_noise=False, likelihood="gaussian"):
+              include_noise=False, likelihood="gaussian", kmm_jitter=None):
     """Predictive q(f*) mean/variance at Xs.
 
     include_noise adds the OBSERVATION variance for the likelihood:
@@ -246,7 +251,7 @@ def posterior(params, Z, vp, Xs, kind="rbf", jitter=1e-6,
         raise ValueError(
             f"include_noise is undefined for likelihood={likelihood!r}; "
             "use predict_rate (poisson) or predict_proba (bernoulli)")
-    mu, var = _qf(params, Z, vp, Xs, kind, jitter)
+    mu, var = _qf(params, Z, vp, Xs, kind, jitter, kmm_jitter)
     if include_noise:
         sn2 = jnp.exp(params["log_noise_var"])
         if likelihood == "student_t":
@@ -280,7 +285,8 @@ def predict_proba(params, Z, vp, Xs, kind="rbf", jitter=1e-6):
     "kind", "jitter", "likelihood", "steps", "batch", "learning_rate",
     "optimize_inducing"))
 def _fit_scan(trainables, fixed_Z, X, y, key, kind, jitter, likelihood,
-              steps, batch, learning_rate, optimize_inducing):
+              steps, batch, learning_rate, optimize_inducing,
+              grad_clip=100.0, kmm_jitter=None, idx_schedule=None):
     from cugp_tpu.inference import map_opt
 
     n = X.shape[0]
@@ -291,19 +297,21 @@ def _fit_scan(trainables, fixed_Z, X, y, key, kind, jitter, likelihood,
         Xb, yb = X[idx], y[idx]
         return -elbo(tr["params"], Z, {"m": tr["m"], "c": tr["c"]}, Xb, yb,
                      kind=kind, jitter=jitter, likelihood=likelihood,
-                     scale=scale)
+                     scale=scale, kmm_jitter=kmm_jitter)
 
     # clip: hyperparameter gradients through L^{-1} spike when K_mm
     # conditioning degrades mid-trajectory; clipping keeps one bad
     # minibatch from ejecting q from its basin
     tx = optax.apply_if_finite(
-        optax.chain(optax.clip_by_global_norm(100.0),
+        optax.chain(optax.clip_by_global_norm(grad_clip),
                     optax.adam(learning_rate)), 1000)
     opt_state = tx.init(trainables)
 
-    def step(carry, k):
+    def step(carry, xs):
         tr, s = carry
-        idx = jax.random.randint(k, (batch,), 0, n)
+        k, sched = xs
+        idx = (jax.random.randint(k, (batch,), 0, n)
+               if sched is None else sched)
         loss, grads = jax.value_and_grad(neg_elbo)(tr, idx)
         updates, s = tx.update(grads, s, tr)
         tr = optax.apply_updates(tr, updates)
@@ -312,19 +320,25 @@ def _fit_scan(trainables, fixed_Z, X, y, key, kind, jitter, likelihood,
 
     keys = jax.random.split(key, steps)
     (trainables, _), losses = jax.lax.scan(step, (trainables, opt_state),
-                                           keys)
+                                           (keys, idx_schedule))
     return trainables, losses
 
 
 def fit(init_params, X, y, *, num_inducing=512, Z=None, kind="rbf",
         jitter=1e-6, likelihood="gaussian", steps=2000, batch=256,
         learning_rate=0.01, optimize_inducing=True, warm_start=True,
-        seed=0, key=None):
+        seed=0, key=None, grad_clip=100.0, kmm_jitter=None,
+        batch_sampling="replacement"):
     """SGD on the SVGP bound over (hyperparams, inducing locs, q(v)).
 
     warm_start: for the Gaussian likelihood, initialize q(v) at its
     closed-form optimum given the initial hyperparameters (big head
     start; falls back to the whitened prior for other likelihoods).
+    grad_clip: global-norm clip on the joint gradient (see _fit_scan
+    comment). kmm_jitter: relative K_mm jitter floor override (default
+    KMM_JITTER_FLOOR). batch_sampling: "replacement" (randint per step)
+    or "shuffle" (cycled shuffled epochs — every point visited once per
+    epoch; schedule precomputed host-side, shapes stay static).
     Returns (params, Z, vp, info)."""
     from cugp_tpu.models import sgpr
 
@@ -344,7 +358,7 @@ def fit(init_params, X, y, *, num_inducing=512, Z=None, kind="rbf",
     mm = Z.shape[0]
     if warm_start and likelihood == "gaussian":
         vp = optimal_variational(init_params, Z, X, y, kind=kind,
-                                 jitter=jitter)
+                                 jitter=jitter, kmm_jitter=kmm_jitter)
     else:
         vp = init_variational(mm)
     trainables = {"params": init_params, "m": vp["m"], "c": vp["c"]}
@@ -352,9 +366,22 @@ def fit(init_params, X, y, *, num_inducing=512, Z=None, kind="rbf",
         trainables["Z"] = Z
     if key is None:
         key = jax.random.key(seed)
+    if batch_sampling == "shuffle":
+        import numpy as _np
+
+        rng = _np.random.default_rng(seed)
+        need = steps * batch
+        order = _np.concatenate([rng.permutation(n)
+                                 for _ in range(-(-need // n))])[:need]
+        idx_schedule = jnp.asarray(order.reshape(steps, batch), jnp.int32)
+    elif batch_sampling == "replacement":
+        idx_schedule = None
+    else:
+        raise ValueError(f"unknown batch_sampling: {batch_sampling!r}")
     trainables, losses = _fit_scan(
         trainables, Z, X, y, key, kind, jitter, likelihood, steps, batch,
-        learning_rate, optimize_inducing)
+        learning_rate, optimize_inducing, grad_clip=grad_clip,
+        kmm_jitter=kmm_jitter, idx_schedule=idx_schedule)
     Z_out = trainables["Z"] if optimize_inducing else Z
     vp_out = {"m": trainables["m"], "c": trainables["c"]}
     return trainables["params"], Z_out, vp_out, {
