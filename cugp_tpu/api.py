@@ -408,6 +408,38 @@ class GPClassifier:
             return self.classes_[np.asarray(jnp.argmax(proba, axis=1))]
         return self.classes_[np.asarray(proba > 0.5, dtype=np.int64)]
 
+    def save(self, path):
+        """Persist hyperparameters, conditioning data, and the label set."""
+        from cugp_tpu.utils import checkpoint
+
+        checkpoint.save(
+            path,
+            {"params": self.params, "X": self.X, "y": self.y,
+             "classes": np.asarray(self.classes_)},
+            extra_json={"kind": self.kind, "jitter": self.jitter,
+                        "method": self.method, "model": "gpc",
+                        "param_struct": _tree_struct(self.params)})
+
+    @classmethod
+    def load(cls, path):
+        from cugp_tpu.utils import checkpoint
+
+        meta0 = checkpoint.peek_meta(path)
+        if meta0 is None:
+            raise FileNotFoundError(path)
+        extra = meta0.get("extra", {})
+        probe = {"params": _probe_from_struct(extra["param_struct"]),
+                 "X": np.zeros((1, 1)), "y": np.zeros(1),
+                 "classes": np.zeros(1)}
+        tree, _meta = checkpoint.restore(path, probe)
+        clf = cls(kind=extra["kind"], jitter=extra["jitter"],
+                  method=extra["method"])
+        clf.params = {k: jnp.asarray(v) for k, v in tree["params"].items()}
+        clf.X = jnp.asarray(tree["X"])
+        clf.y = jnp.asarray(tree["y"])
+        clf.classes_ = np.asarray(tree["classes"])
+        return clf
+
 
 @dataclasses.dataclass
 class SVGP:
@@ -510,6 +542,45 @@ class SVGP:
                              kind=self.kind, jitter=self.jitter,
                              likelihood=self.likelihood)
 
+    def save(self, path):
+        """Persist hyperparameters, inducing points, and q(v) — the full
+        predictive state (training data is NOT needed at predict time)."""
+        from cugp_tpu.utils import checkpoint
+
+        tree = {"params": self.params, "Z": self.Z, "vp": self.vp}
+        classes = getattr(self, "_classes", None)
+        if classes is not None:
+            tree["classes"] = np.asarray(classes)
+        checkpoint.save(
+            path, tree,
+            extra_json={"kind": self.kind, "jitter": self.jitter,
+                        "likelihood": self.likelihood, "model": "svgp",
+                        "has_classes": classes is not None,
+                        "param_struct": _tree_struct(self.params)})
+
+    @classmethod
+    def load(cls, path):
+        from cugp_tpu.utils import checkpoint
+
+        meta0 = checkpoint.peek_meta(path)
+        if meta0 is None:
+            raise FileNotFoundError(path)
+        extra = meta0.get("extra", {})
+        probe = {"params": _probe_from_struct(extra["param_struct"]),
+                 "Z": np.zeros((1, 1)),
+                 "vp": {"m": np.zeros(1), "c": np.zeros(1)}}
+        if extra.get("has_classes"):
+            probe["classes"] = np.zeros(1)
+        tree, _meta = checkpoint.restore(path, probe)
+        model = cls(kind=extra["kind"], jitter=extra["jitter"],
+                    likelihood=extra["likelihood"])
+        model.params = {k: jnp.asarray(v) for k, v in tree["params"].items()}
+        model.Z = jnp.asarray(tree["Z"])
+        model.vp = {k: jnp.asarray(v) for k, v in tree["vp"].items()}
+        if extra.get("has_classes"):
+            model._classes = np.asarray(tree["classes"])
+        return model
+
 
 @dataclasses.dataclass
 class MultiOutputGP:
@@ -575,3 +646,32 @@ class MultiOutputGP:
         B = lmc.coregionalization(self.params)
         s = jnp.sqrt(jnp.diagonal(B))
         return B / (s[:, None] * s[None, :])
+
+    def save(self, path):
+        """Persist LMC hyperparameters + conditioning data."""
+        from cugp_tpu.utils import checkpoint
+
+        checkpoint.save(
+            path, {"params": self.params, "X": self.X, "Y": self.Y},
+            extra_json={"kind": self.kind, "jitter": self.jitter,
+                        "method": self.method, "rank": self.rank,
+                        "model": "lmc",
+                        "param_struct": _tree_struct(self.params)})
+
+    @classmethod
+    def load(cls, path):
+        from cugp_tpu.utils import checkpoint
+
+        meta0 = checkpoint.peek_meta(path)
+        if meta0 is None:
+            raise FileNotFoundError(path)
+        extra = meta0.get("extra", {})
+        probe = {"params": _probe_from_struct(extra["param_struct"]),
+                 "X": np.zeros((1, 1)), "Y": np.zeros((1, 1))}
+        tree, _meta = checkpoint.restore(path, probe)
+        model = cls(kind=extra["kind"], jitter=extra["jitter"],
+                    method=extra["method"], rank=extra.get("rank", 1))
+        model.params = {k: jnp.asarray(v) for k, v in tree["params"].items()}
+        model.X = jnp.asarray(tree["X"])
+        model.Y = jnp.asarray(tree["Y"])
+        return model
