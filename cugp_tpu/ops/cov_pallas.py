@@ -94,8 +94,9 @@ def _cov_kernel(scal_ref, x1_ref, x2_ref, out_ref, *, kind, square, n1, n2,
     else:
         k = sf2 * kernel_fn(d2, kind, alpha)
 
-    row = i * _BM + jax.lax.broadcasted_iota(jnp.int32, (_BM, _BN), 0)
-    col = j * _BN + jax.lax.broadcasted_iota(jnp.int32, (_BM, _BN), 1)
+    bm, bn = out_ref.shape
+    row = i * bm + jax.lax.broadcasted_iota(jnp.int32, (bm, bn), 0)
+    col = j * bn + jax.lax.broadcasted_iota(jnp.int32, (bm, bn), 1)
     pad = (row >= n1) | (col >= n2)
     if square:
         diag = row == col
@@ -112,22 +113,24 @@ _SMALL_D = 32  # at or below: narrow-K MXU contraction path (see _cov_kernel)
 
 @functools.partial(
     jax.jit,
-    static_argnames=("kind", "square", "n1", "n2", "d_true", "interpret"),
+    static_argnames=("kind", "square", "n1", "n2", "d_true", "interpret",
+                     "bm", "bn"),
 )
-def _cov_pallas(xs1, xs2, scalars, kind, square, n1, n2, d_true, interpret):
+def _cov_pallas(xs1, xs2, scalars, kind, square, n1, n2, d_true, interpret,
+                bm=_BM, bn=_BN):
     m = xs1.shape[0]
     if d_true is not None:
         d = xs1.shape[1]
         dp8 = xs2.shape[0]  # xs2 transposed: (8-padded d, n)
         n = xs2.shape[1]
-        x2_spec = pl.BlockSpec((dp8, _BN), lambda i, j: (0, j),
+        x2_spec = pl.BlockSpec((dp8, bn), lambda i, j: (0, j),
                                memory_space=pltpu.VMEM)
     else:
         d = xs1.shape[1]
         n = xs2.shape[0]
-        x2_spec = pl.BlockSpec((_BN, d), lambda i, j: (j, 0),
+        x2_spec = pl.BlockSpec((bn, d), lambda i, j: (j, 0),
                                memory_space=pltpu.VMEM)
-    grid = (m // _BM, n // _BN)
+    grid = (m // bm, n // bn)
     kern = functools.partial(_cov_kernel, kind=kind, square=square, n1=n1,
                              n2=n2, d_true=d_true)
     return pl.pallas_call(
@@ -135,13 +138,16 @@ def _cov_pallas(xs1, xs2, scalars, kind, square, n1, n2, d_true, interpret):
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((_BM, d), lambda i, j: (i, 0),
+            pl.BlockSpec((bm, d), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
             x2_spec,
         ],
-        out_specs=pl.BlockSpec((_BM, _BN), lambda i, j: (i, j),
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
+        # both grid dims write disjoint output tiles from read-only inputs
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
         cost_estimate=pl.CostEstimate(
             flops=2 * m * n * d + 8 * m * n,
             bytes_accessed=4 * (m * d + n * d + m * n),
@@ -172,6 +178,20 @@ def _interp():
     return jax.default_backend() != "tpu"
 
 
+def _tiles():
+    """Builder tile shape (BM, BN); override with COV_PALLAS_TILES=BMxBN
+    (benchmarks/bench_cov_tiles.py sweeps this on hardware)."""
+    import os
+
+    t = os.environ.get("COV_PALLAS_TILES")
+    if not t:
+        return _BM, _BN
+    bm, bn = (int(v) for v in t.lower().split("x"))
+    if bm % 8 or bn % _LANE:
+        raise ValueError(f"tiles must be 8x{_LANE}-aligned, got {bm}x{bn}")
+    return bm, bn
+
+
 def cross_covariance_pallas(params, X1, X2, kind="rbf", n1_true=None):
     """K(X1, X2) without noise; output cropped to true (n1, n2).
 
@@ -186,11 +206,13 @@ def cross_covariance_pallas(params, X1, X2, kind="rbf", n1_true=None):
         n1 = min(n1, n1_true)
     d = X1.shape[1]
     d_true = d if d <= _SMALL_D else None
-    xs1 = _prep(params, X1, _BM)
-    xs2 = _prep(params, X2, _BN, transpose=d_true is not None)
+    bm, bn = _tiles()
+    xs1 = _prep(params, X1, bm)
+    xs2 = _prep(params, X2, bn, transpose=d_true is not None)
     sf2 = jnp.exp(params["log_signal_var"]).astype(jnp.float32)
     scalars = jnp.stack([sf2, jnp.float32(0.0), extra_scalar(params, kind)])
-    K = _cov_pallas(xs1, xs2, scalars, kind, False, n1, n2, d_true, _interp())
+    K = _cov_pallas(xs1, xs2, scalars, kind, False, n1, n2, d_true,
+                    _interp(), bm=bm, bn=bn)
     return K[:X1.shape[0], :n2]
 
 
@@ -209,14 +231,16 @@ def train_covariance_pallas(params, X, kind="rbf", jitter=1e-6, pad_to=None,
     n, d = X.shape
     nt = n if n_true is None else min(n, n_true)
     d_true = d if d <= _SMALL_D else None
-    rows_to = _round_up(pad_to, _BM) if pad_to else _BM
+    bm, bn = _tiles()
+    rows_to = _round_up(pad_to, max(bm, bn)) if pad_to else max(bm, bn)
     xs = _prep(params, X, rows_to)
     xs2 = _prep(params, X, rows_to, transpose=d_true is not None)
     sf2 = jnp.exp(params["log_signal_var"]).astype(jnp.float32)
     sn2 = jnp.exp(params["log_noise_var"]).astype(jnp.float32)
     scalars = jnp.stack([sf2, sn2 + jitter * sf2,
                          extra_scalar(params, kind)])
-    K = _cov_pallas(xs, xs2, scalars, kind, True, nt, nt, d_true, _interp())
+    K = _cov_pallas(xs, xs2, scalars, kind, True, nt, nt, d_true, _interp(),
+                    bm=bm, bn=bn)
     if pad_to:
         return K[:pad_to, :pad_to]
     return K[:n, :n]
