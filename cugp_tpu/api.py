@@ -54,9 +54,12 @@ class GP:
     jitter: float = 1e-6
     method: str = "auto"
     basis: Optional[str] = None  # None | "constant" | "linear" (GPML 2.7)
+    normalize_y: bool = False    # standardize targets internally
     params: Optional[dict] = None
     X: Optional[Any] = None
     y: Optional[Any] = None
+    y_mean: float = 0.0
+    y_std: float = 1.0
 
     def __post_init__(self):
         kernel_ops.validate_kind(self.kind)
@@ -64,6 +67,9 @@ class GP:
             raise ValueError(f"unknown basis {self.basis!r}")
 
     def _data(self, X, y):
+        """Validate; with normalize_y, standardize targets and record the
+        stats. self.y is ALWAYS the internal (standardized) targets;
+        predictions and the reported LML are mapped back to y units."""
         X = jnp.asarray(X, dtype=jnp.float32)
         y = jnp.asarray(y, dtype=jnp.float32)
         if X.ndim != 2:
@@ -71,7 +77,25 @@ class GP:
         if y.ndim != 1 or y.shape[0] != X.shape[0]:
             raise ValueError(
                 f"y must be (n,) matching X (n={X.shape[0]}), got {y.shape}")
+        if self.normalize_y:
+            self.y_mean = float(jnp.mean(y))
+            self.y_std = float(jnp.maximum(jnp.std(y), 1e-12))
+            y = (y - self.y_mean) / self.y_std
         return X, y
+
+    def _out_mean(self, mu):
+        return mu * self.y_std + self.y_mean if self.normalize_y else mu
+
+    def _out_var(self, v):
+        return v * (self.y_std ** 2) if self.normalize_y else v
+
+    def _out_lml(self, lml):
+        """log p(y) = log p(y_std) - n log(sigma_y) (change of variables)."""
+        import math
+
+        if not self.normalize_y:
+            return lml
+        return lml - self.y.shape[0] * math.log(self.y_std)
 
     def fit(self, X, y, *, steps=200, optimizer="adam", learning_rate=0.05,
             init=None, key=None):
@@ -102,13 +126,15 @@ class GP:
     def log_marginal_likelihood(self, params=None):
         p = params if params is not None else self.params
         if self.basis is not None:
-            return exact_gp.log_marginal_likelihood_basis(
+            lml = exact_gp.log_marginal_likelihood_basis(
                 p, self.X, self.y, kind=self.kind, jitter=self.jitter,
                 method=self.method, basis=self.basis)
-        return exact_gp.log_marginal_likelihood(
-            p, self.X, self.y, kind=self.kind, jitter=self.jitter,
-            method=self.method,
-        )
+        else:
+            lml = exact_gp.log_marginal_likelihood(
+                p, self.X, self.y, kind=self.kind, jitter=self.jitter,
+                method=self.method,
+            )
+        return self._out_lml(lml)
 
     def predict(self, Xs, *, include_noise=False, full_cov=False, batch=4096):
         """Posterior mean/variance at Xs, tiled over test batches.
@@ -128,25 +154,27 @@ class GP:
                     jitter=self.jitter, method=self.method,
                     basis=self.basis)
                 self.beta = beta
-                return mu, cov
+                return self._out_mean(mu), self._out_var(cov)
             mu, var, beta = exact_gp.posterior_basis(
                 self.params, self.X, self.y, Xs, kind=self.kind,
                 jitter=self.jitter, method=self.method, basis=self.basis,
                 include_noise=include_noise)
             self.beta = beta
-            return mu, var
+            return self._out_mean(mu), self._out_var(var)
         if full_cov:
-            return exact_gp.posterior_full_cov(
+            mu, cov = exact_gp.posterior_full_cov(
                 self.params, self.X, self.y, Xs, kind=self.kind,
                 jitter=self.jitter, method=self.method,
             )
+            return self._out_mean(mu), self._out_var(cov)
         m = Xs.shape[0]
         if m <= batch:
-            return exact_gp.posterior(
+            mu, var = exact_gp.posterior(
                 self.params, self.X, self.y, Xs, kind=self.kind,
                 jitter=self.jitter, method=self.method,
                 include_noise=include_noise,
             )
+            return self._out_mean(mu), self._out_var(var)
         # pad the ragged final batch so every slice compiles once, and keep
         # jax arrays throughout (same return type as the small-m path)
         mus, vars_ = [], []
@@ -164,7 +192,8 @@ class GP:
                 mu, var = mu[:-pad], var[:-pad]
             mus.append(mu)
             vars_.append(var)
-        return jnp.concatenate(mus), jnp.concatenate(vars_)
+        return (self._out_mean(jnp.concatenate(mus)),
+                self._out_var(jnp.concatenate(vars_)))
 
     def sample_hyperparams(self, *, num_samples=512, num_chains=8,
                            num_warmup=256, sampler="nuts", key=None,
@@ -205,9 +234,10 @@ class GP:
         from cugp_tpu.models import sgpr
 
         Xs = jnp.asarray(Xs, jnp.float32)
-        return sgpr.posterior(self.params, self.Z, self.X, self.y, Xs,
-                              kind=self.kind, jitter=self.jitter,
-                              include_noise=include_noise)
+        mu, var = sgpr.posterior(self.params, self.Z, self.X, self.y, Xs,
+                                 kind=self.kind, jitter=self.jitter,
+                                 include_noise=include_noise)
+        return self._out_mean(mu), self._out_var(var)
 
     def sample_posterior(self, Xs, num_samples=8, key=None, jitter=1e-6):
         """Draw function samples from the posterior at Xs.
@@ -233,7 +263,7 @@ class GP:
             cov + jitter * scale * jnp.eye(m, dtype=cov.dtype), scale,
             method="xla", max_attempts=3, jitter0=max(jitter, 1e-6))
         eps = jax.random.normal(key, (m, num_samples), cov.dtype)
-        return mu[None, :] + (Ls @ eps).T  # (num_samples, m)
+        return self._out_mean(mu[None, :] + (Ls @ eps).T)  # (num_samples, m)
 
     def log_marginal_likelihood_iterative(self, params=None, *, block=4096,
                                           num_probes=16, num_steps=32,
@@ -244,10 +274,10 @@ class GP:
         from cugp_tpu.inference import iterative
 
         p = params if params is not None else self.params
-        return iterative.lml_iterative(
+        return self._out_lml(iterative.lml_iterative(
             p, self.X, self.y, key=key or jax.random.key(0), kind=self.kind,
             jitter=self.jitter, block=block, num_probes=num_probes,
-            num_steps=num_steps)
+            num_steps=num_steps))
 
     def predict_iterative(self, Xs, *, block=4096, tol=1e-6,
                           include_noise=False):
@@ -256,10 +286,11 @@ class GP:
         from cugp_tpu.inference import iterative
 
         Xs = jnp.asarray(Xs, jnp.float32)
-        return iterative.posterior_iterative(
+        mu, var = iterative.posterior_iterative(
             self.params, self.X, self.y, Xs, kind=self.kind,
             jitter=self.jitter, block=block, tol=tol,
             include_noise=include_noise)
+        return self._out_mean(mu), self._out_var(var)
 
     def save(self, path):
         """Persist hyperparameters + conditioning data (utils.checkpoint)."""
@@ -269,6 +300,9 @@ class GP:
                                "y": self.y},
                         extra_json={"kind": self.kind, "jitter": self.jitter,
                                     "method": self.method,
+                                    "normalize_y": self.normalize_y,
+                                    "y_mean": self.y_mean,
+                                    "y_std": self.y_std,
                                     "param_keys": sorted(self.params),
                                     "param_struct": _tree_struct(self.params)})
 
@@ -304,7 +338,12 @@ class GP:
             raise FileNotFoundError(path)
         gp = cls(kind=meta["extra"]["kind"], jitter=meta["extra"]["jitter"],
                  method=meta["extra"]["method"])
+        # condition with normalize_y off: saved y is ALREADY standardized;
+        # restore the recorded stats afterwards
         gp.condition(tree["X"], tree["y"], params=tree["params"])
+        gp.normalize_y = meta["extra"].get("normalize_y", False)
+        gp.y_mean = meta["extra"].get("y_mean", 0.0)
+        gp.y_std = meta["extra"].get("y_std", 1.0)
         return gp
 
     def fit_classifier(self, X, y, **kw):

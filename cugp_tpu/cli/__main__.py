@@ -47,7 +47,8 @@ def _make_gp(cfg):
     from cugp_tpu.api import GP
 
     return GP(kind=cfg.model.kind, jitter=cfg.model.jitter,
-              method=cfg.model.method, basis=cfg.model.basis or None)
+              method=cfg.model.method, basis=cfg.model.basis or None,
+              normalize_y=cfg.model.normalize_y)
 
 
 def cmd_fit(cfg):

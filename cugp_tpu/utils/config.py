@@ -18,6 +18,7 @@ class ModelConfig:
     jitter: float = 1e-6
     method: str = "auto"         # auto | xla | blocked | pallas
     basis: str = ""              # "" (zero mean) | constant | linear
+    normalize_y: bool = False    # standardize targets inside the GP facade
     lengthscale: float = 1.0
     signal_var: float = 1.0
     noise_var: float = 0.1
