@@ -98,8 +98,11 @@ class GP:
         return lml - self.y.shape[0] * math.log(self.y_std)
 
     def fit(self, X, y, *, steps=200, optimizer="adam", learning_rate=0.05,
-            init=None, key=None):
-        """MAP hyperparameter fit by maximizing the LML (inference/map_opt)."""
+            init=None, key=None, log_prior=None):
+        """MAP hyperparameter fit by maximizing the LML — or, with
+        log_prior (callable params dict -> scalar), the log posterior
+        (inference/map_opt; map_opt.weak_log_prior matches the samplers'
+        default prior)."""
         from cugp_tpu.inference import map_opt
 
         X, y = self._data(X, y)
@@ -108,7 +111,7 @@ class GP:
         params, info = map_opt.fit(
             init, X, y, kind=self.kind, jitter=self.jitter, method=self.method,
             steps=steps, optimizer=optimizer, learning_rate=learning_rate,
-            basis=self.basis,
+            basis=self.basis, log_prior=log_prior,
         )
         self.params, self.X, self.y = params, X, y
         return info

@@ -19,14 +19,19 @@ import optax
 from cugp_tpu.models import exact_gp
 
 
-def _neg_lml(params, X, y, kind, jitter, method, basis=None):
+def _neg_lml(params, X, y, kind, jitter, method, basis=None,
+             log_prior=None):
     if basis is not None:
-        return -exact_gp.log_marginal_likelihood_basis(
+        val = -exact_gp.log_marginal_likelihood_basis(
             params, X, y, kind=kind, jitter=jitter, method=method,
             basis=basis)
-    return -exact_gp.log_marginal_likelihood(
-        params, X, y, kind=kind, jitter=jitter, method=method
-    )
+    else:
+        val = -exact_gp.log_marginal_likelihood(
+            params, X, y, kind=kind, jitter=jitter, method=method
+        )
+    if log_prior is not None:
+        val = val - log_prior(params)
+    return val
 
 
 # Box constraints on log-hyperparameters. fp32 Cholesky fails (NaN) when the
@@ -66,12 +71,12 @@ def _clamp(params):
 @partial(
     jax.jit,
     static_argnames=("kind", "jitter", "method", "steps", "optimizer",
-                     "learning_rate", "basis"),
+                     "learning_rate", "basis", "log_prior"),
 )
 def _fit_scan(params, X, y, kind, jitter, method, steps, optimizer,
-              learning_rate, basis=None):
+              learning_rate, basis=None, log_prior=None):
     loss_fn = partial(_neg_lml, X=X, y=y, kind=kind, jitter=jitter,
-                      method=method, basis=basis)
+                      method=method, basis=basis, log_prior=log_prior)
 
     if optimizer == "adam":
         # skip (don't apply) any non-finite update instead of poisoning the
@@ -102,17 +107,31 @@ def _fit_scan(params, X, y, kind, jitter, method, steps, optimizer,
 
 
 def fit(init_params, X, y, *, kind="rbf", jitter=1e-6, method="auto",
-        steps=200, optimizer="adam", learning_rate=0.05, basis=None):
-    """Maximize the LML over log-hyperparameters.
+        steps=200, optimizer="adam", learning_rate=0.05, basis=None,
+        log_prior=None):
+    """Maximize the LML (or log-posterior) over log-hyperparameters.
 
     basis: None (zero mean), "constant", or "linear" — with a basis the
     objective is the marginalized-basis LML (exact_gp section 2.7).
-    Returns (params, info) where info = {"loss": (steps,) negative-LML trace,
-    "lml": final LML}.
+    log_prior: optional callable params_dict -> scalar log-density; when
+    given the objective becomes the true MAP (LML + log prior), matching
+    the samplers' posterior (inference/hmc.default_log_prior operates on
+    the FLAT vector — for the same weak N(0,3^2) prior over every
+    log-hyperparameter use `weak_log_prior` here). Keep the callable
+    object stable across calls (it is a static jit arg).
+    Returns (params, info) where info = {"loss": (steps,) negative-
+    objective trace, "lml": final objective}.
     """
     params, losses = _fit_scan(
         init_params, X, y, kind, jitter, method, steps, optimizer,
-        learning_rate, basis,
+        learning_rate, basis, log_prior,
     )
     info = {"loss": losses, "lml": -losses[-1]}
     return params, info
+
+
+def weak_log_prior(params):
+    """N(0, 3^2) on every log-hyperparameter leaf — the dict-space twin of
+    hmc.default_log_prior (which acts on the flat chain vector)."""
+    leaves = jax.tree_util.tree_leaves(params)
+    return sum(jnp.sum(-0.5 * (v / 3.0) ** 2) for v in leaves)

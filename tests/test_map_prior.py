@@ -1,0 +1,58 @@
+"""MAP with a hyperparameter prior (map_opt log_prior): the objective is
+LML + log prior, so a tight prior must pull the optimum toward its mean."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from cugp_tpu import api
+from cugp_tpu.data import synthetic
+from cugp_tpu.inference import map_opt
+from cugp_tpu.ops import kernels as kops
+
+
+def _tight_prior(center):
+    def lp(params):
+        return jnp.sum(-0.5 * ((params["log_lengthscale"] - center)
+                               / 0.05) ** 2)
+    return lp
+
+
+def test_tight_prior_pulls_lengthscale():
+    X, y, _ = synthetic.sinusoid_1d(n=200, noise_std=0.1, seed=0)
+    init = kops.init_params(d=1, lengthscale=1.0, noise_var=0.05)
+    Xj, yj = jnp.asarray(X), jnp.asarray(y)
+    mle, _ = map_opt.fit(init, Xj, yj, steps=150, learning_rate=0.1)
+    center = 2.0  # far from the MLE lengthscale (~log 0.8)
+    mapp, info = map_opt.fit(init, Xj, yj, steps=150, learning_rate=0.1,
+                             log_prior=_tight_prior(center))
+    assert np.isfinite(np.asarray(info["loss"])).all()
+    ls_mle = float(mle["log_lengthscale"][0])
+    ls_map = float(mapp["log_lengthscale"][0])
+    # the optimum balances the LML against the prior pull: it must move
+    # substantially from the MLE toward the prior center (the exact
+    # equilibrium depends on the LML curvature, so assert direction+size)
+    assert ls_map > ls_mle + 0.4, (ls_mle, ls_map)
+    assert abs(ls_map - center) < abs(ls_mle - center) - 0.4
+
+
+def test_weak_prior_barely_moves_fit():
+    X, y, _ = synthetic.sinusoid_1d(n=200, noise_std=0.1, seed=0)
+    init = kops.init_params(d=1, lengthscale=1.0, noise_var=0.05)
+    Xj, yj = jnp.asarray(X), jnp.asarray(y)
+    mle, _ = map_opt.fit(init, Xj, yj, steps=150, learning_rate=0.1)
+    mapp, _ = map_opt.fit(init, Xj, yj, steps=150, learning_rate=0.1,
+                          log_prior=map_opt.weak_log_prior)
+    for k in mle:
+        assert np.max(np.abs(np.asarray(mle[k]) - np.asarray(mapp[k]))) \
+            < 0.3, k
+
+
+def test_api_fit_with_prior():
+    X, y, _ = synthetic.sinusoid_1d(n=150, noise_std=0.1, seed=1)
+    gp = api.GP()
+    info = gp.fit(X, y, steps=60, learning_rate=0.1,
+                  log_prior=map_opt.weak_log_prior)
+    assert np.isfinite(float(info["lml"]))
+    mu, _ = gp.predict(X[:5])
+    assert np.isfinite(np.asarray(mu)).all()
