@@ -201,7 +201,11 @@ class GP:
     def sample_hyperparams(self, *, num_samples=512, num_chains=8,
                            num_warmup=256, sampler="nuts", key=None,
                            init=None, max_tree_depth=8):
-        """Posterior over hyperparameters via NUTS/HMC (inference tier)."""
+        """Posterior over hyperparameters via NUTS/HMC (inference tier).
+
+        With normalize_y=True the posterior is over the STANDARDIZED
+        model's hyperparameters (signal/noise variances are in units of
+        sigma_y^2; lengthscales are unaffected)."""
         from cugp_tpu.inference import sampling
 
         if init is None:
@@ -358,7 +362,8 @@ class GP:
 
     def fit_vi(self, *, steps=2000, learning_rate=0.01, rank="meanfield",
                num_mc=8, key=None, init=None):
-        """Variational posterior over hyperparameters (inference/vi)."""
+        """Variational posterior over hyperparameters (inference/vi).
+        Same normalize_y caveat as sample_hyperparams."""
         from cugp_tpu.inference import vi
 
         if init is None:
