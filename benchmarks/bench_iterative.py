@@ -74,8 +74,14 @@ def main(argv=None):
     # worker at n >= 64k (bisected round 3: matvec alone, precond alone,
     # and plain CG each run fine at 65k; only the fusion faults) — and
     # the split lets one preconditioner serve every solve anyway.
-    factors = jax.jit(lambda p, X: iterative.precond_factors(
-        p, X, rank, kind="rbf"))
+    precond_where = args.get("--precond", "host" if on_tpu else "device")
+    if precond_where == "host":
+        def factors(p, X):
+            return iterative.precond_factors_host(p, X, rank, kind="rbf")
+    else:
+        factors = jax.jit(lambda p, X: iterative.precond_factors(
+            p, X, rank, kind="rbf"))
+    out["precond_where"] = precond_where
 
     @jax.jit
     def solve(params, Xj, yj, Lk, Lg, s2):

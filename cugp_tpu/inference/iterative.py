@@ -176,6 +176,60 @@ def pivoted_cholesky(params, X, rank, kind="rbf"):
     return Lk, jnp.sum(dres)
 
 
+def pivoted_cholesky_host(params, X, rank, kind="rbf"):
+    """Host (NumPy float64) greedy pivoted Cholesky of the noise-free
+    kernel — the robust construction path for the preconditioner.
+
+    The pivot recurrence is sequential and latency-bound (argmax +
+    one exact kernel column per step, O(n rank^2) total) — cold-path
+    setup work that the host does in ~a second at rank 128, while the
+    on-device scan version is the class of program that faults the
+    tunneled TPU worker at n >= 64k (round-3 bisection, PERF.md). The
+    hot O(n^2) paths (CG matvecs, SLQ) stay on device either way.
+    Column evaluations ride the float64 oracle (all kernel families
+    incl. composites). Returns (Lk (n, rank) float32, residual trace).
+    """
+    import numpy as np
+
+    from cugp_tpu.oracle import exact_gp_np as onp
+
+    Xh = np.asarray(X, np.float64)
+    n = Xh.shape[0]
+    dres = np.asarray(onp.kernel_diag(params, Xh, kind), np.float64).copy()
+    if dres.shape == ():  # constant diag (stationary kernels)
+        dres = np.full(n, float(dres))
+    elif dres.shape != (n,):
+        dres = np.broadcast_to(dres, (n,)).copy()
+    Lk = np.zeros((n, rank))
+    for i in range(rank):
+        j = int(np.argmax(dres))
+        c = onp.kernel_matrix(params, Xh, Xh[j:j + 1], kind)[:, 0]
+        if i:
+            c = c - Lk[:, :i] @ Lk[j, :i]
+        piv = np.sqrt(max(dres[j], 1e-12))
+        li = c / piv
+        li[j] = piv
+        Lk[:, i] = li
+        dres = np.maximum(dres - li * li, 0.0)
+        dres[j] = 0.0
+    return Lk.astype(np.float32), float(dres.sum())
+
+
+def precond_factors_host(params, X, rank, kind="rbf", jitter=1e-6):
+    """Host-built (Lk, Lg, s2) — see pivoted_cholesky_host. Drop-in for
+    precond_factors; returns device arrays."""
+    import numpy as np
+
+    Lk, _resid = pivoted_cholesky_host(params, X, rank, kind=kind)
+    sf2 = float(kernel_ops.signal_scale(
+        jax.tree.map(lambda a: jnp.asarray(a), params)))
+    s2 = float(np.exp(np.asarray(params["log_noise_var"]))) + jitter * sf2
+    G = s2 * np.eye(rank) + Lk.astype(np.float64).T @ Lk.astype(np.float64)
+    Lg = np.linalg.cholesky(G)
+    return (jnp.asarray(Lk), jnp.asarray(Lg, jnp.float32),
+            jnp.float32(s2))
+
+
 def precond_factors(params, X, rank, kind="rbf", jitter=1e-6):
     """Arrays (Lk, Lg, s2) for P = Lk Lk^T + s2 I (s2 = noise+jitter).
 

@@ -175,3 +175,32 @@ def test_lml_iterative_preconditioned_matches(setup):
                                        block=128, num_probes=32,
                                        num_steps=32, precond_rank=16))
     assert abs(v0 - v1) / len(y) < 5e-3, (v0, v1)
+
+
+def test_pivoted_cholesky_host_matches_device():
+    """Host (oracle-column, float64) vs on-device (scan) pivoted Cholesky:
+    same greedy factorization to fp32 tolerance, and the host factors
+    plug into the same Woodbury apply."""
+    import numpy as np
+
+    from cugp_tpu.data import synthetic
+    from cugp_tpu.inference import iterative
+    from cugp_tpu.ops import kernels as kops
+
+    X, _y, _ = synthetic.multidim_regression(n=256, d=3, seed=5)
+    Xj = jnp.asarray(X, jnp.float32)
+    params = kops.init_params(d=3, lengthscale=1.2, noise_var=0.05)
+    rank = 24
+    Lk_d, resid_d = iterative.pivoted_cholesky(params, Xj, rank)
+    Lk_h, resid_h = iterative.pivoted_cholesky_host(params, Xj, rank)
+    A_d = np.asarray(Lk_d) @ np.asarray(Lk_d).T
+    A_h = Lk_h @ Lk_h.T
+    assert np.max(np.abs(A_d - A_h)) < 1e-3
+    assert abs(resid_d - resid_h) < 1e-2 * max(1.0, resid_h)
+
+    ones = jnp.ones((Xj.shape[0],))
+    out_d = iterative.make_pivoted_precond(params, Xj, rank)(ones)
+    fac_h = iterative.precond_factors_host(params, Xj, rank)
+    out_h = iterative.precond_apply_from_factors(*fac_h)(ones)
+    np.testing.assert_allclose(np.asarray(out_d), np.asarray(out_h),
+                               rtol=2e-3, atol=2e-4)
