@@ -125,17 +125,28 @@ def main(argv=None):
                converged=bool(float(res) <= tol))
 
     # ---- SLQ LML at full n --------------------------------------------
-    print("# slq lml ...", file=sys.stderr, flush=True)
+    # Separate small programs (crash-surface discipline, same reasoning
+    # as the precond split): the quadratic term reuses the CG alpha
+    # already computed; SLQ's batched Lanczos is its own program.
+    print("# slq logdet ...", file=sys.stderr, flush=True)
+    import math
+
+    slq_fn = jax.jit(lambda p, X, key: iterative.slq_logdet(
+        iterative.make_matvec(p, X, kind="rbf"), n, key,
+        num_probes=probes, num_steps=lanczos))
+
+    def lml_value():
+        logdet = slq_fn(params, Xj, jax.random.key(1))
+        quad = jnp.dot(yj, alpha)
+        return (-0.5 * quad - 0.5 * logdet
+                - 0.5 * n * math.log(2.0 * math.pi))
+
     t0 = time.perf_counter()
-    lml_fn = jax.jit(lambda p, X, y, Lk, Lg, s2: iterative.lml_iterative(
-        p, X, y, key=jax.random.key(1), kind="rbf", tol=tol,
-        max_iters=max_iters, num_probes=probes, num_steps=lanczos,
-        precond=(Lk, Lg, s2)))
-    lml = lml_fn(params, Xj, yj, Lk, Lg, s2)
+    lml = lml_value()
     _barrier(lml)
     t_first = time.perf_counter() - t0
     t0 = time.perf_counter()
-    lml = lml_fn(params, Xj, yj, Lk, Lg, s2)
+    lml = lml_value()
     _barrier(lml)
     t_lml = time.perf_counter() - t0
     out.update(lml=float(lml), lml_per_point=round(float(lml) / n, 4),
