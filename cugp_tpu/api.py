@@ -379,18 +379,21 @@ class GP:
 class GPClassifier:
     """GP classification via the Laplace approximation.
 
-    Two classes route to the binary logistic model (models/gpc, GPML
-    Alg 3.1/3.2 — predict_proba returns p(y=classes_[1] | x) under the
-    MacKay probit approximation); three or more route to the multiclass
-    softmax model (models/gpc_multiclass, GPML Alg 3.3/3.4 —
-    predict_proba returns an (m, C) matrix in classes_ order). Labels may
-    be anything hashable; predict() returns them in their original form
-    via classes_.
+    Two classes route to the binary model — inference="laplace"
+    (models/gpc, logistic likelihood, GPML Alg 3.1/3.2, MacKay probit
+    predictive) or inference="ep" (models/gpc_ep, probit likelihood,
+    parallel EP, GPML ch. 3.6 — the more accurate classical scheme;
+    its predictive probit integral is exact). Three or more classes
+    route to the multiclass softmax-Laplace model (models/gpc_multiclass,
+    GPML Alg 3.3/3.4 — predict_proba returns an (m, C) matrix in
+    classes_ order; EP is binary-only). Labels may be anything hashable;
+    predict() returns them in their original form via classes_.
     """
 
     kind: str = "rbf"
     jitter: float = 1e-6
     method: str = "auto"
+    inference: str = "laplace"   # laplace | ep (binary only)
     params: Optional[dict] = None
     X: Optional[Any] = None
     y: Optional[Any] = None
@@ -421,9 +424,16 @@ class GPClassifier:
         if init is None:
             init = kernel_ops.default_init(self.kind, d=X.shape[1])
         if self._multiclass:
+            if self.inference == "ep":
+                raise ValueError("inference='ep' is binary-only; "
+                                 "multiclass uses the softmax Laplace")
             from cugp_tpu.models import gpc_multiclass as model
-        else:
+        elif self.inference == "ep":
+            from cugp_tpu.models import gpc_ep as model
+        elif self.inference == "laplace":
             from cugp_tpu.models import gpc as model
+        else:
+            raise ValueError(f"unknown inference {self.inference!r}")
         params, info = model.fit(
             init, X, yenc, kind=self.kind, jitter=self.jitter,
             method=self.method, steps=steps, learning_rate=learning_rate,
@@ -440,6 +450,13 @@ class GPClassifier:
                 self.params, self.X, self.y, Xs, kind=self.kind,
                 jitter=self.jitter, method=self.method,
                 num_newton=num_newton)
+            return p
+        if self.inference == "ep":
+            from cugp_tpu.models import gpc_ep
+
+            p, _, _ = gpc_ep.predict_proba(
+                self.params, self.X, self.y, Xs,
+                kind=self.kind, jitter=self.jitter, method=self.method)
             return p
         from cugp_tpu.models import gpc
 
@@ -465,6 +482,7 @@ class GPClassifier:
              "classes": np.asarray(self.classes_)},
             extra_json={"kind": self.kind, "jitter": self.jitter,
                         "method": self.method, "model": "gpc",
+                        "inference": self.inference,
                         "param_struct": _tree_struct(self.params)})
 
     @classmethod
@@ -480,7 +498,8 @@ class GPClassifier:
                  "classes": np.zeros(1)}
         tree, _meta = checkpoint.restore(path, probe)
         clf = cls(kind=extra["kind"], jitter=extra["jitter"],
-                  method=extra["method"])
+                  method=extra["method"],
+                  inference=extra.get("inference", "laplace"))
         clf.params = {k: jnp.asarray(v) for k, v in tree["params"].items()}
         clf.X = jnp.asarray(tree["X"])
         clf.y = jnp.asarray(tree["y"])
