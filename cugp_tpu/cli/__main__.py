@@ -245,7 +245,8 @@ def cmd_classify(cfg):
                                    noise_std=cfg.data.noise_std,
                                    seed=cfg.data.seed)
     clf = GPClassifier(kind=cfg.model.kind, jitter=cfg.model.jitter,
-                       method=cfg.model.method)
+                       method=cfg.model.method,
+                       inference=cfg.model.inference)
     t0 = time.perf_counter()
     info = clf.fit(X, y, steps=cfg.fit.steps,
                    learning_rate=cfg.fit.learning_rate)

@@ -19,6 +19,7 @@ class ModelConfig:
     method: str = "auto"         # auto | xla | blocked | pallas
     basis: str = ""              # "" (zero mean) | constant | linear
     normalize_y: bool = False    # standardize targets inside the GP facade
+    inference: str = "laplace"   # classify: laplace | ep (binary only)
     lengthscale: float = 1.0
     signal_var: float = 1.0
     noise_var: float = 0.1
