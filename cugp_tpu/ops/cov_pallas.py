@@ -27,11 +27,13 @@ from cugp_tpu.ops.kernels import (kernel_fn, extra_scalar,
                                   periodic_rbf_view,
                                   require_base_kind as _require_base_kind)
 
-# Tile sizes: (512, 512) output tiles amortize grid-step overhead
-# (2 X-tiles @ 256xD + 1 K-tile @ 256x256 fp32 = well under 16 MB for D<=512)
-# while giving the MXU full 128-aligned operands.
+# Tile sizes: wide-N (512, 1024) output tiles amortize grid-step overhead
+# while giving the MXU full 128-aligned operands; the round-3 on-chip
+# sweep (benchmarks/bench_cov_tiles.py, N=32k d=8) measured 9.55 ms vs
+# 10.48 (512x512), 9.97 (1024x512), 9.63 (1024x1024), 10.06 (XLA) —
+# 1.82x the pure HBM-write bound. Override: COV_PALLAS_TILES=BMxBN.
 _BM = 512
-_BN = 512
+_BN = 1024
 _LANE = 128
 
 
