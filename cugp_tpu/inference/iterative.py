@@ -193,6 +193,10 @@ def pivoted_cholesky_host(params, X, rank, kind="rbf"):
 
     from cugp_tpu.oracle import exact_gp_np as onp
 
+    # fetch device-resident inputs ONCE — the column loop below calls the
+    # oracle ~rank times, and per-call np.asarray() on device params
+    # would pay a tunnel RTT per leaf per column (minutes at rank=128)
+    params = jax.tree.map(lambda a: np.asarray(a), params)
     Xh = np.asarray(X, np.float64)
     n = Xh.shape[0]
     dres = np.asarray(onp.kernel_diag(params, Xh, kind), np.float64).copy()
