@@ -77,7 +77,8 @@ def main(argv=None):
     precond_where = args.get("--precond", "host" if on_tpu else "device")
     if precond_where == "host":
         def factors(p, X):
-            return iterative.precond_factors_host(p, X, rank, kind="rbf")
+            return iterative.precond_factors_host(p, X, rank, kind="rbf",
+                                                  verbose=True)
     else:
         factors = jax.jit(lambda p, X: iterative.precond_factors(
             p, X, rank, kind="rbf"))

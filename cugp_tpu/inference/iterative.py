@@ -219,19 +219,35 @@ def pivoted_cholesky_host(params, X, rank, kind="rbf"):
     return Lk.astype(np.float32), float(dres.sum())
 
 
-def precond_factors_host(params, X, rank, kind="rbf", jitter=1e-6):
+def precond_factors_host(params, X, rank, kind="rbf", jitter=1e-6,
+                         verbose=False):
     """Host-built (Lk, Lg, s2) — see pivoted_cholesky_host. Drop-in for
-    precond_factors; returns device arrays."""
+    precond_factors; returns device arrays. ALL math (incl. signal_scale
+    for composite amplitudes) runs in NumPy — no device programs."""
+    import sys
+
     import numpy as np
 
+    def log(msg):
+        if verbose:
+            print(f"#   precond_host: {msg}", file=sys.stderr, flush=True)
+
+    log("pivot loop")
     Lk, _resid = pivoted_cholesky_host(params, X, rank, kind=kind)
-    sf2 = float(kernel_ops.signal_scale(
-        jax.tree.map(lambda a: jnp.asarray(a), params)))
-    s2 = float(np.exp(np.asarray(params["log_noise_var"]))) + jitter * sf2
+    log("scalars")
+    ph = jax.tree.map(lambda a: np.asarray(a, np.float64), params)
+    if "terms" in ph:  # composite: total amplitude = sum of term amps
+        sf2 = float(sum(np.exp(t["log_signal_var"]) for t in ph["terms"]))
+    else:
+        sf2 = float(np.exp(ph["log_signal_var"]))
+    s2 = float(np.exp(ph["log_noise_var"])) + jitter * sf2
     G = s2 * np.eye(rank) + Lk.astype(np.float64).T @ Lk.astype(np.float64)
     Lg = np.linalg.cholesky(G)
-    return (jnp.asarray(Lk), jnp.asarray(Lg, jnp.float32),
-            jnp.float32(s2))
+    log("device upload")
+    out = (jnp.asarray(Lk), jnp.asarray(Lg, jnp.float32),
+           jnp.float32(s2))
+    log("done")
+    return out
 
 
 def precond_factors(params, X, rank, kind="rbf", jitter=1e-6):
