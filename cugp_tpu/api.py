@@ -98,11 +98,12 @@ class GP:
         return lml - self.y.shape[0] * math.log(self.y_std)
 
     def fit(self, X, y, *, steps=200, optimizer="adam", learning_rate=0.05,
-            init=None, key=None, log_prior=None):
+            init=None, key=None, log_prior=None, objective="lml"):
         """MAP hyperparameter fit by maximizing the LML — or, with
         log_prior (callable params dict -> scalar), the log posterior
         (inference/map_opt; map_opt.weak_log_prior matches the samplers'
-        default prior)."""
+        default prior). objective="loo" maximizes the leave-one-out
+        pseudo-likelihood instead (GPML section 5.4.2; see loo())."""
         from cugp_tpu.inference import map_opt
 
         X, y = self._data(X, y)
@@ -111,7 +112,7 @@ class GP:
         params, info = map_opt.fit(
             init, X, y, kind=self.kind, jitter=self.jitter, method=self.method,
             steps=steps, optimizer=optimizer, learning_rate=learning_rate,
-            basis=self.basis, log_prior=log_prior,
+            basis=self.basis, log_prior=log_prior, objective=objective,
         )
         self.params, self.X, self.y = params, X, y
         return info
@@ -138,6 +139,31 @@ class GP:
                 method=self.method,
             )
         return self._out_lml(lml)
+
+    def loo(self, params=None):
+        """Leave-one-out cross-validation at the training points from ONE
+        factorization (GPML section 5.4.2; exact_gp.loo_cv) — no refits.
+        Returns dict with per-point predictive "mean"/"var" (of the noisy
+        observation, in y units), per-point "logp", and the scalar
+        "pseudo_likelihood" = sum(logp). Optimize it directly with
+        fit(objective="loo")."""
+        import math
+
+        if self.basis is not None:
+            raise NotImplementedError(
+                "loo() is defined for the zero-mean model (basis=None)")
+        p = params if params is not None else self.params
+        mu, var, logp = exact_gp.loo_cv(
+            p, self.X, self.y, kind=self.kind, jitter=self.jitter,
+            method=self.method)
+        if self.normalize_y:
+            logp = logp - math.log(self.y_std)
+        return {
+            "mean": self._out_mean(mu),
+            "var": self._out_var(var),
+            "logp": logp,
+            "pseudo_likelihood": jnp.sum(logp),
+        }
 
     def predict(self, Xs, *, include_noise=False, full_cov=False, batch=4096):
         """Posterior mean/variance at Xs, tiled over test batches.

@@ -63,7 +63,8 @@ def cmd_fit(cfg):
             pass
     t0 = time.perf_counter()
     info = gp.fit(X, y, steps=cfg.fit.steps, optimizer=cfg.fit.optimizer,
-                  learning_rate=cfg.fit.learning_rate, init=init)
+                  learning_rate=cfg.fit.learning_rate, init=init,
+                  objective=cfg.fit.objective)
     dt = time.perf_counter() - t0
     if cfg.checkpoint_dir:
         gp.save(cfg.checkpoint_dir)

@@ -20,8 +20,18 @@ from cugp_tpu.models import exact_gp
 
 
 def _neg_lml(params, X, y, kind, jitter, method, basis=None,
-             log_prior=None):
-    if basis is not None:
+             log_prior=None, objective="lml"):
+    if objective not in ("lml", "loo"):
+        raise ValueError(f"unknown objective {objective!r}: lml | loo")
+    if objective == "loo":
+        if basis is not None:
+            raise NotImplementedError(
+                "objective='loo' is defined for the zero-mean model; "
+                "combine with basis=None (GPML 5.4.2 derives it for the "
+                "plain LML factorization)")
+        val = -exact_gp.loo_pseudo_likelihood(
+            params, X, y, kind=kind, jitter=jitter, method=method)
+    elif basis is not None:
         val = -exact_gp.log_marginal_likelihood_basis(
             params, X, y, kind=kind, jitter=jitter, method=method,
             basis=basis)
@@ -71,12 +81,13 @@ def _clamp(params):
 @partial(
     jax.jit,
     static_argnames=("kind", "jitter", "method", "steps", "optimizer",
-                     "learning_rate", "basis", "log_prior"),
+                     "learning_rate", "basis", "log_prior", "objective"),
 )
 def _fit_scan(params, X, y, kind, jitter, method, steps, optimizer,
-              learning_rate, basis=None, log_prior=None):
+              learning_rate, basis=None, log_prior=None, objective="lml"):
     loss_fn = partial(_neg_lml, X=X, y=y, kind=kind, jitter=jitter,
-                      method=method, basis=basis, log_prior=log_prior)
+                      method=method, basis=basis, log_prior=log_prior,
+                      objective=objective)
 
     if optimizer == "adam":
         # skip (don't apply) any non-finite update instead of poisoning the
@@ -108,9 +119,13 @@ def _fit_scan(params, X, y, kind, jitter, method, steps, optimizer,
 
 def fit(init_params, X, y, *, kind="rbf", jitter=1e-6, method="auto",
         steps=200, optimizer="adam", learning_rate=0.05, basis=None,
-        log_prior=None):
+        log_prior=None, objective="lml"):
     """Maximize the LML (or log-posterior) over log-hyperparameters.
 
+    objective: "lml" (default) or "loo" — the leave-one-out predictive
+    pseudo-likelihood (GPML eq 5.11 via exact_gp.loo_pseudo_likelihood);
+    gradients flow by AD through the same Cholesky custom-VJP (GPML
+    gives the analytic 5.13 form; AD computes the identical quantity).
     basis: None (zero mean), "constant", or "linear" — with a basis the
     objective is the marginalized-basis LML (exact_gp section 2.7).
     log_prior: optional callable params_dict -> scalar log-density; when
@@ -124,7 +139,7 @@ def fit(init_params, X, y, *, kind="rbf", jitter=1e-6, method="auto",
     """
     params, losses = _fit_scan(
         init_params, X, y, kind, jitter, method, steps, optimizer,
-        learning_rate, basis, log_prior,
+        learning_rate, basis, log_prior, objective,
     )
     info = {"loss": losses, "lml": -losses[-1]}
     return params, info

@@ -280,6 +280,46 @@ def posterior_basis_full_cov(params, X, y, Xs, kind="rbf", jitter=1e-6,
 
 
 @partial(jax.jit, static_argnames=("kind", "jitter", "method"))
+def loo_cv(params, X, y, kind="rbf", jitter=1e-6, method="auto"):
+    """Leave-one-out cross-validation from ONE factorization (GPML
+    section 5.4.2, eqs 5.10-5.12) — no refits.
+
+    With alpha = K^{-1} y and c = diag(K^{-1}):
+        mu_i     = y_i - alpha_i / c_i     (LOO predictive mean at x_i)
+        sigma2_i = 1 / c_i                 (LOO predictive variance)
+        logp_i   = -1/2 log sigma2_i - (y_i - mu_i)^2 / (2 sigma2_i)
+                   - 1/2 log 2pi
+    K includes the noise term, so (mu_i, sigma2_i) predict the NOISY
+    observation y_i. diag(K^{-1}) comes from one triangular solve:
+    K^{-1} = L^{-T} L^{-1}, so c_i = ||(L^{-1})[:, i]||^2.
+
+    Returns (mu, var, logp), each (n,). sum(logp) is the LOO
+    pseudo-likelihood (the objective of map_opt.fit(objective="loo")).
+    """
+    L, alpha = _factorize(params, X, y, kind, jitter, method)
+    n = y.shape[-1]
+    solve_method = "xla" if method == "auto" else method
+    Linv = trsm_ops.solve_lx(L, jnp.eye(n, dtype=L.dtype),
+                             method=solve_method)
+    c = jnp.maximum(jnp.sum(Linv * Linv, axis=0), 1e-30)
+    var = 1.0 / c
+    mu = y - alpha / c
+    logp = -0.5 * jnp.log(var) - 0.5 * c * (y - mu) ** 2 - 0.5 * LOG2PI
+    return mu, var, logp
+
+
+@partial(jax.jit, static_argnames=("kind", "jitter", "method"))
+def loo_pseudo_likelihood(params, X, y, kind="rbf", jitter=1e-6,
+                          method="auto"):
+    """Sum of LOO predictive log-densities (GPML eq 5.11) — a scalar,
+    differentiable objective for hyperparameter selection that is more
+    robust to prior misspecification than the LML (GPML section 5.4.2)."""
+    _, _, logp = loo_cv(params, X, y, kind=kind, jitter=jitter,
+                        method=method)
+    return jnp.sum(logp)
+
+
+@partial(jax.jit, static_argnames=("kind", "jitter", "method"))
 def lml_gradients_analytic(params, X, y, kind="rbf", jitter=1e-6, method="auto"):
     """Analytic LML gradients: 1/2 tr((alpha alpha^T - K^{-1}) dK/dtheta).
 

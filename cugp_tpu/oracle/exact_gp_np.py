@@ -164,6 +164,23 @@ def log_marginal_likelihood(params, X, y, kind="rbf", jitter=1e-6):
     )
 
 
+def loo_cv(params, X, y, kind="rbf", jitter=1e-6):
+    """Leave-one-out predictive mean/var/log-density (GPML eqs 5.10-5.12),
+    float64 closed form from one factorization: with alpha = K^{-1} y and
+    c = diag(K^{-1}), mu_i = y_i - alpha_i / c_i, sigma2_i = 1 / c_i.
+    Equals refitting on the n-1 remaining points for every i (the brute
+    force is asserted in tests/test_loo.py). Returns (mu, var, logp)."""
+    L, alpha = _chol_factor(_as_params(params), X, y, kind, jitter)
+    n = L.shape[0]
+    Linv = sla.solve_triangular(L, np.eye(n), lower=True)
+    c = np.sum(Linv * Linv, axis=0)
+    var = 1.0 / c
+    y = np.asarray(y, dtype=np.float64)
+    mu = y - alpha / c
+    logp = -0.5 * np.log(var) - 0.5 * c * (y - mu) ** 2 - 0.5 * LOG2PI
+    return mu, var, logp
+
+
 def posterior(params, X, y, Xs, kind="rbf", jitter=1e-6, include_noise=False):
     """Posterior mean and (diagonal) variance at test points Xs."""
     p = _as_params(params)

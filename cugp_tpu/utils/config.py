@@ -41,6 +41,7 @@ class FitConfig:
     steps: int = 200
     optimizer: str = "adam"      # adam | lbfgs
     learning_rate: float = 0.05
+    objective: str = "lml"       # lml | loo (GPML 5.4.2 pseudo-likelihood)
 
 
 @dataclasses.dataclass
