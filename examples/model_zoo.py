@@ -53,10 +53,25 @@ def multi_output():
           "(true: strongly negative)")
 
 
+def loo_model_selection():
+    """Pick the kernel family by LOO pseudo-likelihood (GPML 5.4.2) —
+    fit each candidate with objective="loo" and compare GP.loo()."""
+    X, y, _ = synthetic.sinusoid_1d(n=200, noise_std=0.1, seed=3)
+    scores = {}
+    for kind in ("rbf", "matern32", "periodic"):
+        gp = api.GP(kind=kind)
+        gp.fit(X, y, steps=120, learning_rate=0.1, objective="loo")
+        scores[kind] = float(gp.loo()["pseudo_likelihood"])
+    best = max(scores, key=scores.get)
+    print("[loo] pseudo-likelihoods:",
+          {k: round(v, 1) for k, v in scores.items()}, "-> best:", best)
+
+
 def main():
     multiclass()
     svgp_poisson()
     multi_output()
+    loo_model_selection()
 
 
 if __name__ == "__main__":
