@@ -3,9 +3,12 @@
 Usage: python benchmarks/bench_hmc.py [--n=2048] [--chains=256] [--samples=64]
 Config-3 shape: 256 chains on one chip (BASELINE.json:9).
 
-Chain batching: the tunneled TPU worker in this box crashes on programs
-with more than ~32 vmapped per-chain Cholesky-grad scans (see
-.claude/skills/verify/SKILL.md), so the chain count is reached by running
+Chain batching: the tunneled TPU worker in this box crashes when one
+sampler program's total work crosses ~4-5k chain-transitions of
+Cholesky-grad leapfrog (bisected live, PERF.md "single-program sampler
+frontier": 96 chains x 40 transitions ok, 128x40 and 96x112 crash;
+--chain_block=16 lifts the single-program envelope from 32 to 96
+chains), so larger chain counts are reached by running
 batches of --batch chains through the SAME compiled sampler program
 sequentially (fresh RNG key per batch). Chains are independent samplers —
 adaptation is shared within a batch only — so B sequential batches of 32

@@ -257,7 +257,10 @@ def blocked_chains(fn, chain_block):
 
     The spec'd config-3 layout is ONE program carrying 256 chains
     (BASELINE.json:9); a 256-wide vmap of Cholesky-grad scans crashes the
-    tunneled TPU worker (round-1/2 finding), so this executes the same 256
+    tunneled TPU worker (round-1/2 finding; round-3 bisection in PERF.md
+    refines it — the ceiling is ~4-5k chain-transitions per program, and
+    this blocking lifts the proven single-program envelope from 32 to 96
+    chains on the real chip), so this executes the same 256
     chains as a sequential lax.map over 256/chain_block blocks INSIDE one
     jitted program — one compile, one program, all chains' statistics
     available to shared adaptation (warmup_adapt pools the full (C,)
