@@ -56,6 +56,10 @@ def main(argv=None):
     lanczos = int(args.get("--lanczos", 32))
     dense_n = int(args.get("--dense_check", 32768 if on_tpu else 2048))
     max_iters = int(args.get("--max_iters", 1000))
+    # matvec row-block: each CG step builds (block, n) covariance tiles on
+    # the fly; smaller blocks shrink the per-program working set (the knob
+    # for pushing n past the tunnel worker's envelope)
+    mv_block = int(args.get("--block", 4096))
 
     from cugp_tpu.data import synthetic
     from cugp_tpu.inference import iterative
@@ -86,7 +90,7 @@ def main(argv=None):
 
     @jax.jit
     def solve(params, Xj, yj, Lk, Lg, s2):
-        mv = iterative.make_matvec(params, Xj, kind="rbf")
+        mv = iterative.make_matvec(params, Xj, kind="rbf", block=mv_block)
         pre = iterative.precond_apply_from_factors(Lk, Lg, s2)
         alpha, iters = iterative.cg_solve(mv, yj, tol=tol,
                                           max_iters=max_iters,
@@ -175,35 +179,41 @@ def main(argv=None):
                    converged_fp32_op=bool(float(res) <= max(tol, 1.5e-4)),
                    converged=bool(res64 <= max(tol, 1e-4)))
 
+    # partial result to stderr NOW — if a later stage crashes the tunnel
+    # worker, the solve capture survives
+    print("# partial: " + json.dumps(out), file=sys.stderr, flush=True)
+
     # ---- SLQ LML at full n --------------------------------------------
     # Separate small programs (crash-surface discipline, same reasoning
     # as the precond split): the quadratic term reuses the CG alpha
     # already computed; SLQ's batched Lanczos is its own program.
-    print("# slq logdet ...", file=sys.stderr, flush=True)
+    # --probes=0 skips it (solve-only capture at envelope-pushing n).
     import math
 
-    slq_fn = jax.jit(lambda p, X, key: iterative.slq_logdet(
-        iterative.make_matvec(p, X, kind="rbf"), n, key,
-        num_probes=probes, num_steps=lanczos))
+    if probes > 0:
+        print("# slq logdet ...", file=sys.stderr, flush=True)
+        slq_fn = jax.jit(lambda p, X, key: iterative.slq_logdet(
+            iterative.make_matvec(p, X, kind="rbf", block=mv_block), n, key,
+            num_probes=probes, num_steps=lanczos))
 
-    def lml_value():
-        logdet = slq_fn(params, Xj, jax.random.key(1))
-        quad = jnp.dot(yj, alpha)
-        return (-0.5 * quad - 0.5 * logdet
-                - 0.5 * n * math.log(2.0 * math.pi))
+        def lml_value():
+            logdet = slq_fn(params, Xj, jax.random.key(1))
+            quad = jnp.dot(yj, alpha)
+            return (-0.5 * quad - 0.5 * logdet
+                    - 0.5 * n * math.log(2.0 * math.pi))
 
-    t0 = time.perf_counter()
-    lml = lml_value()
-    _barrier(lml)
-    t_first = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    lml = lml_value()
-    _barrier(lml)
-    t_lml = time.perf_counter() - t0
-    out.update(lml=float(lml), lml_per_point=round(float(lml) / n, 4),
-               lml_wall_s=round(t_lml, 2),
-               lml_compile_s=round(t_first - t_lml, 2),
-               slq_probes=probes, lanczos_steps=lanczos)
+        t0 = time.perf_counter()
+        lml = lml_value()
+        _barrier(lml)
+        t_first = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        lml = lml_value()
+        _barrier(lml)
+        t_lml = time.perf_counter() - t0
+        out.update(lml=float(lml), lml_per_point=round(float(lml) / n, 4),
+                   lml_wall_s=round(t_lml, 2),
+                   lml_compile_s=round(t_first - t_lml, 2),
+                   slq_probes=probes, lanczos_steps=lanczos)
 
     # ---- accuracy: dense Cholesky cross-check on a subsample ----------
     print("# dense cross-check ...", file=sys.stderr, flush=True)
@@ -218,9 +228,10 @@ def main(argv=None):
             max_iters=max_iters)
         mu_dn, var_dn = exact_gp.posterior(params, Xs, ys, Xt, kind="rbf")
         lml_dn = exact_gp.log_marginal_likelihood(params, Xs, ys, kind="rbf")
+        probes_cmp = probes or 16  # subsample comparison needs real probes
         lml_it = iterative.lml_iterative(
             params, Xs, ys, key=jax.random.key(1), kind="rbf", tol=tol,
-            max_iters=max_iters, num_probes=probes, num_steps=lanczos,
+            max_iters=max_iters, num_probes=probes_cmp, num_steps=lanczos,
             precond_rank=rank)
         # direct logdet comparison — the honest SLQ metric (the LML can
         # sit near zero, making its relative error meaningless)
@@ -229,7 +240,7 @@ def main(argv=None):
         logdet_dn = 2.0 * jnp.sum(jnp.log(jnp.diagonal(Ls)))
         mv_s = iterative.make_matvec(params, Xs, kind="rbf")
         logdet_it = iterative.slq_logdet(
-            mv_s, dense_n, jax.random.key(1), num_probes=probes,
+            mv_s, dense_n, jax.random.key(1), num_probes=probes_cmp,
             num_steps=lanczos)
         out.update(
             dense_check_n=dense_n,
