@@ -226,8 +226,13 @@ class GP:
 
     def sample_hyperparams(self, *, num_samples=512, num_chains=8,
                            num_warmup=256, sampler="nuts", key=None,
-                           init=None, max_tree_depth=8):
+                           init=None, max_tree_depth=8, chain_block=0):
         """Posterior over hyperparameters via NUTS/HMC (inference tier).
+
+        chain_block > 0 runs the chains as lax.map over chain_block-wide
+        vmapped blocks inside ONE program (hmc.blocked_chains) — the
+        config-3 single-program layout; see PERF.md for the per-program
+        envelope on the tunneled chip.
 
         With normalize_y=True the posterior is over the STANDARDIZED
         model's hyperparameters (signal/noise variances are in units of
@@ -240,7 +245,7 @@ class GP:
             init, self.X, self.y, kind=self.kind, jitter=self.jitter,
             method=self.method, num_samples=num_samples, num_chains=num_chains,
             num_warmup=num_warmup, sampler=sampler, key=key,
-            max_tree_depth=max_tree_depth,
+            max_tree_depth=max_tree_depth, chain_block=chain_block,
         )
 
     def fit_sparse(self, X, y, *, num_inducing=512, steps=500,

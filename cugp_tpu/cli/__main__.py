@@ -116,6 +116,7 @@ def cmd_sample(cfg):
             num_chains=cfg.sample.num_chains,
             num_warmup=cfg.sample.num_warmup, sampler=cfg.sample.sampler,
             max_tree_depth=cfg.sample.max_tree_depth,
+            chain_block=cfg.sample.chain_block,
             key=jax.random.key(cfg.sample.seed),
         )
     else:
@@ -124,6 +125,7 @@ def cmd_sample(cfg):
             num_chains=cfg.sample.num_chains,
             num_warmup=cfg.sample.num_warmup, sampler=cfg.sample.sampler,
             max_tree_depth=cfg.sample.max_tree_depth,
+            chain_block=cfg.sample.chain_block,
             key=jax.random.key(cfg.sample.seed),
         )
     dt = time.perf_counter() - t0

@@ -118,7 +118,7 @@ def sample_hyperparams_checkpointed(
         kind="rbf", jitter=1e-6, method="auto", num_samples=512,
         num_chains=8, num_warmup=256, sampler="hmc", key=None,
         n_leapfrog=32, max_tree_depth=8, eps0=0.1, target_accept=0.8,
-        log_prior=hmc_lib.default_log_prior):
+        log_prior=hmc_lib.default_log_prior, chain_block=0):
     """NUTS/HMC with chain-state checkpoint/resume (SURVEY.md section 5).
 
     Post-warmup draws run in jitted segments of `checkpoint_every`; after
@@ -144,15 +144,23 @@ def sample_hyperparams_checkpointed(
         init_params, X, y, kind=kind, jitter=jitter, method=method,
         log_prior=log_prior)
     if sampler == "hmc":
-        kernel = hmc_lib.make_hmc_kernel(logprob_and_grad, n_leapfrog)
+        kernel = hmc_lib.make_hmc_kernel(logprob_and_grad, n_leapfrog,
+                                         chain_block=chain_block)
     elif sampler == "nuts":
-        kernel = nuts_lib.make_nuts_kernel(logprob_and_grad, max_tree_depth)
+        kernel = nuts_lib.make_nuts_kernel(logprob_and_grad, max_tree_depth,
+                                           chain_block=chain_block)
     else:
         raise ValueError(f"unknown sampler: {sampler}")
 
     dim = q0.shape[0]
     probe = {
         "q": np.zeros((num_chains, dim), np.float32),
+        # logp/grad are CHECKPOINTED, not recomputed on resume: a
+        # recompute vmaps full-width, whose reduction order differs in
+        # the last ulp from the blocked (chain_block>0) in-loop values —
+        # enough to flip MH accepts and break exact resume equality
+        "logp": np.zeros(num_chains, np.float32),
+        "grad": np.zeros((num_chains, dim), np.float32),
         "eps": np.zeros(()), "inv_mass": np.zeros(dim),
         "key_data": np.zeros_like(np.asarray(jax.random.key_data(key))),
         "samples": np.zeros(0),  # stored flat; reshaped via draws_done
@@ -179,7 +187,8 @@ def sample_hyperparams_checkpointed(
         samples_list = [np.asarray(tree["samples"], np.float32).reshape(
             draws_done, num_chains, dim)] if draws_done else []
         accept_sum = float(tree["accept_sum"])
-        logp, grad = jax.vmap(logprob_and_grad)(q)
+        logp = jnp.asarray(tree["logp"], jnp.float32)
+        grad = jnp.asarray(tree["grad"], jnp.float32)
         state = hmc_lib.HMCState(q, logp, grad)
     else:
         draws_done = 0
@@ -201,6 +210,8 @@ def sample_hyperparams_checkpointed(
                 if samples_list else np.zeros(0, np.float32))
         checkpoint.save(checkpoint_dir, {
             "q": np.asarray(state.q, np.float32),
+            "logp": np.asarray(state.logp, np.float32),
+            "grad": np.asarray(state.grad, np.float32),
             "eps": np.asarray(eps), "inv_mass": np.asarray(inv_mass),
             "key_data": np.asarray(jax.random.key_data(base_key)),
             "samples": flat,

@@ -51,6 +51,10 @@ class SampleConfig:
     num_warmup: int = 256
     num_chains: int = 8
     max_tree_depth: int = 8
+    chain_block: int = 0         # >0: run chains as lax.map over
+                                 # chain_block-wide vmapped blocks in ONE
+                                 # program (config-3 layout; PERF.md
+                                 # documents the per-program envelope)
     seed: int = 0
     checkpoint_every: int = 64   # draws per checkpoint segment (with
                                  # --checkpoint_dir on the sample command)

@@ -79,3 +79,24 @@ def test_cli_sample_checkpoint_resume(tmp_path, capsys):
     out2 = capsys.readouterr().out
     assert '"resumed": true' in out2
     assert '"draws_done": 16' in out2
+
+
+def test_checkpointed_chain_block_resume_equality(data, tmp_path):
+    """chain_block pass-through (config.SampleConfig.chain_block -> CLI ->
+    sampling): the blocked single-program layout checkpoints and resumes
+    to the SAME draws as its own uninterrupted run. (Equality to the
+    full-width vmap layout is NOT expected over multiple transitions —
+    XLA reassociates reductions differently per layout and HMC is
+    chaotic; see hmc.blocked_chains. test_samplers.py pins single-step
+    layout equivalence.)"""
+    full = _run(data, os.path.join(tmp_path, "blk_full"), 24, chain_block=2)
+    assert full["draws_done"] == 24
+
+    part_dir = os.path.join(tmp_path, "blk_part")
+    part = _run(data, part_dir, 8, chain_block=2)
+    assert part["draws_done"] == 8
+    resumed = _run(data, part_dir, 24, chain_block=2)
+    assert resumed["resumed"] and resumed["draws_done"] == 24
+    np.testing.assert_allclose(np.asarray(resumed["samples_flat"]),
+                               np.asarray(full["samples_flat"]),
+                               rtol=1e-5, atol=1e-6)
