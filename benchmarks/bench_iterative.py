@@ -22,6 +22,9 @@ What it records (the VERDICT "done" bar):
 Usage:
   python benchmarks/bench_iterative.py [--n=100000] [--d=4] [--rank=128]
       [--tol=1e-4] [--probes=16] [--lanczos=32] [--dense_check=32768]
+  --probes=0 is solve-only mode: skips SLQ AND (by default) the dense
+  cross-check, so the capture really is just the CG solve; pass
+  --dense_check=<n> explicitly to re-enable the comparison.
 """
 
 import json
@@ -54,7 +57,13 @@ def main(argv=None):
     tol = float(args.get("--tol", 1e-4))
     probes = int(args.get("--probes", 16))
     lanczos = int(args.get("--lanczos", 32))
-    dense_n = int(args.get("--dense_check", 32768 if on_tpu else 2048))
+    # --probes=0 means solve-only (envelope-pushing n): ALSO skip the
+    # dense/SLQ cross-check by default — it would otherwise run its own
+    # SLQ at dense_n and defeat the crash-surface discipline. Pass
+    # --dense_check explicitly to keep it.
+    solve_only = probes == 0
+    dense_default = 0 if solve_only else (32768 if on_tpu else 2048)
+    dense_n = int(args.get("--dense_check", dense_default))
     max_iters = int(args.get("--max_iters", 1000))
     # matvec row-block: each CG step builds (block, n) covariance tiles on
     # the fly; smaller blocks shrink the per-program working set (the knob
@@ -175,9 +184,12 @@ def main(argv=None):
         # irreducible fp32-representation floor every fp32 pipeline
         # (including the dense Cholesky one) shares. The accuracy bar
         # that matters is posterior-mean-vs-oracle (reported below).
+        # Both criteria ship under their OWN keys; `converged` (set at
+        # solve time from the fp32 in-loop residual vs tol) is never
+        # overwritten, so its meaning does not depend on --f64_cert.
         out.update(rel_residual_f64=res64,
                    converged_fp32_op=bool(float(res) <= max(tol, 1.5e-4)),
-                   converged=bool(res64 <= max(tol, 1e-4)))
+                   converged_f64=bool(res64 <= max(tol, 1e-4)))
 
     # partial result to stderr NOW — if a later stage crashes the tunnel
     # worker, the solve capture survives

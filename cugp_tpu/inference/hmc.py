@@ -269,21 +269,30 @@ def blocked_chains(fn, chain_block):
     full-width vmap to fp tolerance; over many steps the layouts may
     diverge bitwise (XLA reassociates reductions differently and HMC is
     chaotic) while remaining draws from the identical Markov kernel.
+
+    Non-divisible chain counts are handled by padding the last block
+    with copies of chain 0 (their outputs are sliced off before
+    returning, so no padded chain ever reaches adaptation statistics).
     """
     def run(state, keys):
         C = keys.shape[0]
         if not chain_block or C <= chain_block:
             return jax.vmap(fn)(state, keys)
-        if C % chain_block:
-            raise ValueError(
-                f"n_chains={C} not divisible by chain_block={chain_block}")
-        nb = C // chain_block
+        pad = (-C) % chain_block
+        if pad:
+            def padc(x):
+                return jnp.concatenate(
+                    [x, jnp.broadcast_to(x[:1], (pad,) + x.shape[1:])], 0)
+
+            state = jax.tree.map(padc, state)
+            keys = padc(keys)
+        nb = (C + pad) // chain_block
 
         def resh(x):
             return x.reshape((nb, chain_block) + x.shape[1:])
 
         def unresh(x):
-            return x.reshape((C,) + x.shape[2:])
+            return x.reshape((C + pad,) + x.shape[2:])[:C]
 
         out = jax.lax.map(
             lambda args: jax.vmap(fn)(*args),

@@ -166,7 +166,27 @@ def sample_hyperparams_checkpointed(
         "samples": np.zeros(0),  # stored flat; reshaped via draws_done
         "accept_sum": np.zeros(()),
     }
-    tree, meta = checkpoint.restore(checkpoint_dir, probe)
+    # Format migration: checkpoints written before logp/grad were added
+    # have 7 leaves (q/eps/inv_mass/key_data/samples/accept_sum + meta
+    # step) — detect via peek_meta and restore with the old probe, then
+    # recompute logp/grad (the pre-migration behavior; resume is still
+    # statistically exact, just not bitwise vs an uninterrupted run).
+    old_meta = checkpoint.peek_meta(checkpoint_dir)
+    n_probe_leaves = len(jax.tree_util.tree_leaves(probe))
+    if (old_meta is not None
+            and old_meta.get("num_leaves") == n_probe_leaves - 2):
+        old_probe = {k: v for k, v in probe.items()
+                     if k not in ("logp", "grad")}
+        tree, meta = checkpoint.restore(checkpoint_dir, old_probe)
+        if tree is not None:
+            qs = jnp.asarray(tree["q"], jnp.float32)
+            logp_m, grad_m = hmc_lib.blocked_chains(
+                lambda q, _k: logprob_and_grad(q), chain_block)(
+                    qs, jax.random.split(jax.random.key(0), num_chains))
+            tree["logp"] = np.asarray(logp_m, np.float32)
+            tree["grad"] = np.asarray(grad_m, np.float32)
+    else:
+        tree, meta = checkpoint.restore(checkpoint_dir, probe)
     resumed = tree is not None
 
     # one jit wrapper reused across segments: one compile per distinct
@@ -193,7 +213,12 @@ def sample_hyperparams_checkpointed(
     else:
         draws_done = 0
         qs0 = init_chains(q0, key_init, num_chains)
-        logp0, grad0 = jax.vmap(logprob_and_grad)(qs0)
+        # blocked init mirrors run_hmc/run_nuts: with chain_block>0 the
+        # initial evaluation must not emit the one full-width vmapped
+        # Cholesky-grad program the blocked layout exists to avoid
+        logp0, grad0 = hmc_lib.blocked_chains(
+            lambda q, _k: logprob_and_grad(q), chain_block)(
+                qs0, jax.random.split(jax.random.key(0), num_chains))
         state0 = hmc_lib.HMCState(qs0, logp0, grad0)
         kw = jax.random.split(key_warm, 4)
         warm = jax.jit(hmc_lib.warmup_adapt,

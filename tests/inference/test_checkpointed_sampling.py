@@ -100,3 +100,31 @@ def test_checkpointed_chain_block_resume_equality(data, tmp_path):
     np.testing.assert_allclose(np.asarray(resumed["samples_flat"]),
                                np.asarray(full["samples_flat"]),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_old_7_leaf_checkpoint_migrates(data, tmp_path):
+    """Checkpoints written before logp/grad entered the format (7 leaves)
+    must still resume: peek_meta detects the old shape and logp/grad are
+    recomputed (ADVICE round 3, medium). Resume is statistically exact but
+    not guaranteed bitwise vs an uninterrupted run, so only shape/progress
+    and sane continuation are asserted."""
+    from cugp_tpu.utils import checkpoint
+
+    d = os.path.join(tmp_path, "legacy")
+    part = _run(data, d, 8)
+    assert part["draws_done"] == 8
+
+    # rewrite the checkpoint in the OLD format: drop logp/grad
+    probe_keys = ["q", "logp", "grad", "eps", "inv_mass", "key_data",
+                  "samples", "accept_sum"]
+    tree, meta = checkpoint.restore(
+        d, {k: np.zeros(0) for k in probe_keys})
+    old_tree = {k: v for k, v in tree.items() if k not in ("logp", "grad")}
+    checkpoint.save(d, old_tree, step=meta["step"], extra_json=meta["extra"])
+    assert checkpoint.peek_meta(d)["num_leaves"] == 6
+
+    resumed = _run(data, d, 24)
+    assert resumed["resumed"] and resumed["draws_done"] == 24
+    qs = np.asarray(resumed["samples_flat"])
+    assert qs.shape[0] == 24 and np.isfinite(qs).all()
+    assert 0.2 < float(resumed["accept_rate"]) <= 1.0

@@ -173,9 +173,29 @@ def test_blocked_chain_run_statistically_correct():
     np.testing.assert_allclose(qs.std(axis=0), 1.0, atol=0.15)
 
 
-def test_blocked_chain_layout_bad_divisor():
-    lp = _gauss_logprob(jnp.zeros(2), jnp.eye(2))
-    q0 = jnp.zeros((6, 2))
-    with pytest.raises(ValueError, match="divisible"):
-        hmc_lib.run_hmc(q0, jax.random.key(1), lp, n_leapfrog=4,
-                        num_warmup=10, num_samples=10, chain_block=4)
+def test_blocked_chain_layout_pads_non_divisible():
+    """C % chain_block != 0 pads the last block with copies of chain 0;
+    every REAL chain's transition must still equal the full-width vmap
+    (round-3 VERDICT weak #6: no usability cliff at e.g. 6 chains / block
+    4)."""
+    dim, chains = 3, 6  # 6 % 4 != 0 -> one padded block
+    lp = _gauss_logprob(jnp.zeros(dim), jnp.eye(dim))
+    q0 = jax.random.normal(jax.random.key(0), (chains, dim))
+    logp0, grad0 = jax.vmap(lambda q: lp(q))(q0)
+    state0 = hmc_lib.HMCState(q0, logp0, grad0)
+    keys = jax.random.split(jax.random.key(1), chains)
+    eps = jnp.asarray(0.2)
+    inv_mass = jnp.ones(dim)
+    k_full = hmc_lib.make_hmc_kernel(lp, n_leapfrog=8)
+    k_blk = hmc_lib.make_hmc_kernel(lp, n_leapfrog=8, chain_block=4)
+    s_full, a_full, _ = k_full(state0, keys, eps, inv_mass)
+    s_blk, a_blk, _ = k_blk(state0, keys, eps, inv_mass)
+    assert s_blk.q.shape == (chains, dim)
+    np.testing.assert_allclose(np.asarray(s_full.q), np.asarray(s_blk.q),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a_full), np.asarray(a_blk),
+                               atol=1e-5)
+    # and a short end-to-end run accepts the odd count
+    out = hmc_lib.run_hmc(q0, jax.random.key(1), lp, n_leapfrog=4,
+                          num_warmup=10, num_samples=10, chain_block=4)
+    assert out["samples_flat"].shape == (10, chains, dim)
