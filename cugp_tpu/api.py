@@ -303,31 +303,93 @@ class GP:
         eps = jax.random.normal(key, (m, num_samples), cov.dtype)
         return self._out_mean(mu[None, :] + (Ls @ eps).T)  # (num_samples, m)
 
+    def fit_iterative(self, X, y, *, steps=50, learning_rate=0.05,
+                      init=None, key=None, log_prior=None, **kw):
+        """Matrix-free MAP hyperparameter fit (map_opt.fit_iterative) —
+        hyperparameter LEARNING at N beyond the dense Cholesky ceiling:
+        per step, preconditioned CG solves + a Hutchinson/AD gradient
+        sweep; K is never formed. Extra kwargs (precond_rank, num_probes,
+        tol, block, ...) pass through to map_opt.fit_iterative."""
+        from cugp_tpu.inference import map_opt
+
+        if self.basis is not None:
+            raise NotImplementedError(
+                "fit_iterative is defined for the zero-mean model; "
+                "the basis-marginalized LML needs the dense tier")
+        X, y = self._data(X, y)
+        if init is None:
+            init = kernel_ops.default_init(self.kind, d=X.shape[1])
+        params, info = map_opt.fit_iterative(
+            init, X, y, kind=self.kind, jitter=self.jitter, steps=steps,
+            learning_rate=learning_rate, key=key, log_prior=log_prior, **kw)
+        self.params, self.X, self.y = params, X, y
+        self._precond_cache = None
+        return info
+
+    def _iterative_precond(self, precond_rank, params):
+        """(Lk, Lg, s2) pivoted-Cholesky factors for the iterative entry
+        points, built as their OWN program (host-side at large n on the
+        tunneled chip — see iterative.precond_factors_host) and cached by
+        (params, X, rank) object identity."""
+        from cugp_tpu.inference import iterative
+
+        n = self.X.shape[0]
+        if precond_rank == "auto":
+            # small problems converge in few CG iterations anyway; the
+            # factor build would dominate
+            precond_rank = 128 if n >= 8192 else 0
+        if not precond_rank:
+            return None
+        cached = getattr(self, "_precond_cache", None)
+        if cached is not None:
+            c_params, c_X, c_rank, fac = cached
+            if c_params is params and c_X is self.X and c_rank == precond_rank:
+                return fac
+        if jax.default_backend() == "tpu" and n >= 32768:
+            fac = iterative.precond_factors_host(
+                params, self.X, precond_rank, kind=self.kind,
+                jitter=self.jitter)
+        else:
+            fac = iterative.precond_factors(
+                params, self.X, precond_rank, kind=self.kind,
+                jitter=self.jitter)
+        self._precond_cache = (params, self.X, precond_rank, fac)
+        return fac
+
     def log_marginal_likelihood_iterative(self, params=None, *, block=4096,
                                           num_probes=16, num_steps=32,
-                                          key=None):
+                                          key=None, precond_rank="auto"):
         """Matrix-free LML (CG + stochastic Lanczos) for N beyond the dense
-        Cholesky memory ceiling (inference/iterative.py)."""
+        Cholesky memory ceiling (inference/iterative.py). CG runs under
+        the pivoted-Cholesky preconditioner by default at n >= 8192
+        (precond_rank="auto"; pass 0 to disable, or an int rank)."""
         import jax
         from cugp_tpu.inference import iterative
 
         p = params if params is not None else self.params
+        pre = self._iterative_precond(precond_rank, p)
         return self._out_lml(iterative.lml_iterative(
             p, self.X, self.y, key=key or jax.random.key(0), kind=self.kind,
             jitter=self.jitter, block=block, num_probes=num_probes,
-            num_steps=num_steps))
+            num_steps=num_steps, precond=pre))
 
     def predict_iterative(self, Xs, *, block=4096, tol=1e-6,
-                          include_noise=False):
-        """Matrix-free posterior via batched CG solves (no N x N storage)."""
+                          include_noise=False, precond_rank="auto"):
+        """Matrix-free posterior via batched CG solves (no N x N storage).
+
+        precond_rank="auto": at n >= 8192 the solves run under a rank-128
+        pivoted-Cholesky preconditioner built (and cached) as its own
+        program — the production 100k path at ~100 CG iterations instead
+        of ~650 unpreconditioned (PERF.md; round-3 VERDICT next #5)."""
         import jax.numpy as jnp
         from cugp_tpu.inference import iterative
 
         Xs = jnp.asarray(Xs, jnp.float32)
+        pre = self._iterative_precond(precond_rank, self.params)
         mu, var = iterative.posterior_iterative(
             self.params, self.X, self.y, Xs, kind=self.kind,
             jitter=self.jitter, block=block, tol=tol,
-            include_noise=include_noise)
+            include_noise=include_noise, precond=pre)
         return self._out_mean(mu), self._out_var(var)
 
     def save(self, path):

@@ -62,9 +62,23 @@ def cmd_fit(cfg):
         except FileNotFoundError:
             pass
     t0 = time.perf_counter()
-    info = gp.fit(X, y, steps=cfg.fit.steps, optimizer=cfg.fit.optimizer,
-                  learning_rate=cfg.fit.learning_rate, init=init,
-                  objective=cfg.fit.objective)
+    if cfg.fit.engine == "iterative":
+        # matrix-free training loop (map_opt.fit_iterative): the path for
+        # n beyond the dense Cholesky ceiling (round-3 VERDICT next #1)
+        info = gp.fit_iterative(
+            X, y, steps=cfg.fit.steps,
+            learning_rate=cfg.fit.learning_rate, init=init,
+            precond_rank=cfg.fit.precond_rank,
+            precond_refresh=cfg.fit.precond_refresh,
+            num_probes=cfg.fit.num_probes, tol=cfg.fit.cg_tol,
+            max_iters=cfg.fit.cg_max_iters, block=cfg.fit.block)
+    elif cfg.fit.engine == "dense":
+        info = gp.fit(X, y, steps=cfg.fit.steps, optimizer=cfg.fit.optimizer,
+                      learning_rate=cfg.fit.learning_rate, init=init,
+                      objective=cfg.fit.objective)
+    else:
+        raise ValueError(
+            f"unknown fit.engine {cfg.fit.engine!r}: dense | iterative")
     dt = time.perf_counter() - t0
     if cfg.checkpoint_dir:
         gp.save(cfg.checkpoint_dir)
@@ -78,10 +92,19 @@ def cmd_fit(cfg):
         "lml": float(info["lml"]),
         "seconds": round(dt, 3),
         "resumed": init is not None,
-        "params": {k: np.asarray(v).tolist() for k, v in gp.params.items()},
+        "params": _params_json(gp.params),
     }
     print(json.dumps(out, indent=2))
     return gp
+
+
+def _params_json(p):
+    """JSON view of a params pytree (handles composite terms/factors)."""
+    if isinstance(p, dict):
+        return {k: _params_json(v) for k, v in p.items()}
+    if isinstance(p, (list, tuple)):
+        return [_params_json(v) for v in p]
+    return np.asarray(p).tolist()
 
 
 def cmd_predict(cfg):

@@ -95,6 +95,12 @@ def make_matvec(params, X, kind="rbf", jitter=1e-6, block=4096,
         vec = v.ndim == 1
         v2 = v[:, None] if vec else v
 
+        # remat: when this matvec is DIFFERENTIATED (the AD gradient
+        # estimator in lml_value_and_grad_iterative), the backward pass
+        # rebuilds each (block, n) tile instead of saving it — without
+        # this, lax.map stores O(n^2) of tile residuals. No-op when the
+        # matvec is only evaluated.
+        @jax.checkpoint
         def one_block(i):
             return jnp.dot(cov_block(i), v2, precision=_HI)  # (block, r)
 
@@ -293,6 +299,63 @@ def make_pivoted_precond(params, X, rank, kind="rbf", jitter=1e-6):
         *precond_factors(params, X, rank, kind=kind, jitter=jitter))
 
 
+def _cg_apply_m(precond_apply, precond_diag):
+    minv = (1.0 / precond_diag)[:, None] if precond_diag is not None else None
+
+    def apply_m(r):
+        if precond_apply is not None:
+            return precond_apply(r)
+        return r * minv if minv is not None else r
+
+    return apply_m
+
+
+def _cg_body(matvec, apply_m):
+    def body(s):
+        ap = matvec(s.p)
+        denom = jnp.sum(s.p * ap, axis=0)
+        alpha = s.rs / jnp.where(denom == 0, 1.0, denom)
+        x = s.x + alpha[None, :] * s.p
+        r = s.r - alpha[None, :] * ap
+        z = apply_m(r)
+        rs_new = jnp.sum(r * z, axis=0)
+        beta = rs_new / jnp.where(s.rs == 0, 1.0, s.rs)
+        p = z + beta[None, :] * s.p
+        return CGState(x=x, r=r, p=p, rs=rs_new, it=s.it + 1)
+
+    return body
+
+
+def cg_init(b, precond_apply=None, precond_diag=None):
+    """Initial CGState for solving K x = b from x0 = 0 (b is (n, r))."""
+    apply_m = _cg_apply_m(precond_apply, precond_diag)
+    z0 = apply_m(b)
+    return CGState(x=jnp.zeros_like(b), r=b, p=z0,
+                   rs=jnp.sum(b * z0, axis=0),
+                   it=jnp.asarray(0, jnp.int32))
+
+
+def cg_segment(matvec, state, num_iters, precond_apply=None,
+               precond_diag=None):
+    """Run exactly num_iters CG iterations from `state` (lax.scan body).
+
+    The resumable half of the segmented schedule: K-iteration chunks with
+    the CGState carried ACROSS program invocations turn the tunneled
+    chip's per-program work ceiling (round-3 PERF.md: N=262k crashed a
+    single fused program) into a scheduling detail — same pattern as
+    hmc.sample_segment. CG's recurrence needs only (x, r, p, rs), so
+    composing segments is exact: segment(A) then segment(B) equals one
+    segment(A+B) run up to fp reassociation.
+    """
+    body = _cg_body(matvec, _cg_apply_m(precond_apply, precond_diag))
+
+    def scan_body(s, _):
+        return body(s), None
+
+    state, _ = jax.lax.scan(scan_body, state, None, length=num_iters)
+    return state
+
+
 def cg_solve(matvec, b, tol=1e-6, max_iters=1000, precond_diag=None,
              fixed_iters=False, precond_apply=None):
     """Batched conjugate gradients for SPD systems; b is (n,) or (n, r).
@@ -307,36 +370,16 @@ def cg_solve(matvec, b, tol=1e-6, max_iters=1000, precond_diag=None,
     """
     vec = b.ndim == 1
     b2 = b[:, None] if vec else b
-    minv = (1.0 / precond_diag)[:, None] if precond_diag is not None else None
-
-    def apply_m(r):
-        if precond_apply is not None:
-            return precond_apply(r)
-        return r * minv if minv is not None else r
+    apply_m = _cg_apply_m(precond_apply, precond_diag)
 
     bnorm = jnp.maximum(jnp.linalg.norm(b2, axis=0), 1e-30)
-    x0 = jnp.zeros_like(b2)
-    r0 = b2
-    z0 = apply_m(r0)
-    s0 = CGState(x=x0, r=r0, p=z0, rs=jnp.sum(r0 * z0, axis=0),
-                 it=jnp.asarray(0, jnp.int32))
+    s0 = cg_init(b2, precond_apply, precond_diag)
 
     def cond(s):
         rel = jnp.linalg.norm(s.r, axis=0) / bnorm
         return (s.it < max_iters) & jnp.any(rel > tol)
 
-    def body(s):
-        ap = matvec(s.p)
-        denom = jnp.sum(s.p * ap, axis=0)
-        alpha = s.rs / jnp.where(denom == 0, 1.0, denom)
-        x = s.x + alpha[None, :] * s.p
-        r = s.r - alpha[None, :] * ap
-        z = apply_m(r)
-        rs_new = jnp.sum(r * z, axis=0)
-        beta = rs_new / jnp.where(s.rs == 0, 1.0, s.rs)
-        p = z + beta[None, :] * s.p
-        return CGState(x=x, r=r, p=p, rs=rs_new, it=s.it + 1)
-
+    body = _cg_body(matvec, apply_m)
     if fixed_iters:
         def scan_body(s, _):
             return body(s), None
@@ -346,6 +389,61 @@ def cg_solve(matvec, b, tol=1e-6, max_iters=1000, precond_diag=None,
         s = jax.lax.while_loop(cond, body, s0)
     x = s.x[:, 0] if vec else s.x
     return x, s.it
+
+
+def cg_solve_segmented(params, X, b, *, kind="rbf", jitter=1e-6,
+                       block=4096, tol=1e-4, iters_per_program=64,
+                       max_iters=1024, precond=None, verbose=False):
+    """Host-segmented CG solve of (K + noise I) x = b.
+
+    Each XLA program runs `iters_per_program` CG iterations
+    (cg_segment); the CGState round-trips through the host between
+    programs, and the host checks convergence from the carried residual.
+    This bounds per-program work regardless of total iteration count —
+    the schedule that breaks the tunneled worker's ~per-program ceiling
+    (round-3 VERDICT next #3). b may be (n,) or (n, r); precond is
+    optional (Lk, Lg, s2) factors from precond_factors[_host].
+
+    Returns (x, total_iters, rel_residual) with the residual taken from
+    the carried r (fp32 in-loop estimate; callers wanting a certificate
+    recompute with one extra matvec).
+    """
+    import sys
+
+    import numpy as np
+
+    vec = b.ndim == 1
+    b2 = b[:, None] if vec else b
+    bnorms = np.maximum(np.asarray(jnp.linalg.norm(b2, axis=0)), 1e-30)
+
+    state = None
+    total = 0
+    rel = np.asarray([np.inf])
+    while total < max_iters:
+        state = _cg_segment_program(params, X, b2, state, precond,
+                                    kind=kind, jitter=jitter, block=block,
+                                    num_iters=iters_per_program)
+        total += iters_per_program
+        # one small host fetch per segment: the per-column residual norms
+        rel = np.asarray(jnp.linalg.norm(state.r, axis=0)) / bnorms
+        if verbose:
+            print(f"#   cg_segmented: it={total} max_rel={rel.max():.3e}",
+                  file=sys.stderr, flush=True)
+        if float(rel.max()) <= tol:
+            break
+    x = state.x[:, 0] if vec else state.x
+    return x, total, float(rel.max())
+
+
+@partial(jax.jit, static_argnames=("kind", "jitter", "block", "num_iters"))
+def _cg_segment_program(params, X, b2, state, precond, kind="rbf",
+                        jitter=1e-6, block=4096, num_iters=64):
+    """One resumable CG segment as its own program (see cg_solve_segmented)."""
+    mv = make_matvec(params, X, kind=kind, jitter=jitter, block=block)
+    pre = precond_apply_from_factors(*precond) if precond is not None else None
+    if state is None:
+        state = cg_init(b2, precond_apply=pre)
+    return cg_segment(mv, state, num_iters, precond_apply=pre)
 
 
 def lanczos_tridiag(matvec, z, num_steps):
@@ -456,21 +554,38 @@ def lml_iterative(params, X, y, key=None, kind="rbf", jitter=1e-6,
 
 
 @partial(jax.jit, static_argnames=("kind", "jitter", "block", "tol",
-                                   "max_iters", "include_noise"))
+                                   "max_iters", "include_noise",
+                                   "precond_rank"))
 def posterior_iterative(params, X, y, Xs, kind="rbf", jitter=1e-6,
                         block=4096, tol=1e-6, max_iters=1000,
-                        include_noise=False):
+                        include_noise=False, precond=None, precond_rank=0):
     """Posterior mean + diagonal variance via CG solves (matrix-free).
 
     mean: K*^T (K^-1 y). variance: k** - diag(K*^T K^-1 K*), with one CG
     solve per test batch column (batched rhs).
+
+    precond: optional (Lk, Lg, s2) pivoted-Cholesky factors from
+    precond_factors[_host] — the production path at n >= ~64k (the BBMM
+    preconditioner cuts 100k-point solves from ~650 to ~110 CG
+    iterations, PERF.md; building factors in their own program keeps
+    this one inside the tunneled chip's envelope). precond_rank > 0
+    builds the factors inside THIS program instead (fine at small n).
     """
     kernel_ops.validate_kind(kind)
     mv = make_matvec(params, X, kind=kind, jitter=jitter, block=block)
-    alpha, _ = cg_solve(mv, y, tol=tol, max_iters=max_iters)
+    if precond is not None:
+        pre = precond_apply_from_factors(*precond)
+    elif precond_rank:
+        pre = make_pivoted_precond(params, X, precond_rank, kind=kind,
+                                   jitter=jitter)
+    else:
+        pre = None
+    alpha, _ = cg_solve(mv, y, tol=tol, max_iters=max_iters,
+                        precond_apply=pre)
     Ks = kernel_ops.cross_covariance_xla(params, X, Xs, kind)  # (n, m)
     mu = Ks.T @ alpha
-    w, _ = cg_solve(mv, Ks, tol=tol, max_iters=max_iters)  # (n, m)
+    w, _ = cg_solve(mv, Ks, tol=tol, max_iters=max_iters,
+                    precond_apply=pre)  # (n, m)
     var = kernel_ops.kernel_diag(params, Xs, kind) - jnp.sum(Ks * w, axis=0)
     if include_noise:
         var = var + jnp.exp(params["log_noise_var"])
@@ -580,10 +695,11 @@ def make_dk_matvec(params, X, wrt, k_dim=0, kind="rbf", block=4096):
 
 
 @partial(jax.jit, static_argnames=("kind", "jitter", "block", "tol",
-                                   "max_iters", "num_probes"))
+                                   "max_iters", "num_probes", "grad_method"))
 def lml_value_and_grad_iterative(params, X, y, key=None, kind="rbf",
                                  jitter=1e-6, block=4096, tol=1e-5,
-                                 max_iters=500, num_probes=16):
+                                 max_iters=500, num_probes=16,
+                                 precond=None, grad_method="ad"):
     """Matrix-free LML gradient (BBMM-style training step).
 
     dLML/dtheta = 1/2 (alpha^T dK alpha - tr(K^{-1} dK)), with the trace
@@ -592,16 +708,56 @@ def lml_value_and_grad_iterative(params, X, y, key=None, kind="rbf",
     Returns (quad-form LML value WITHOUT the logdet term, grads dict) —
     for optimization only the gradients matter; use lml_iterative for a
     comparable value with the SLQ logdet.
+
+    grad_method="ad" (default): after the CG solves, ALL hyperparameter
+    gradients come from ONE reverse-mode sweep of
+    g(p) = 1/2 (alpha^T K(p) alpha - mean_z w^T K(p) z) with alpha/w/z
+    held constant — mathematically identical to the per-parameter dK
+    estimator but a single rematerialized backward pass over the blocked
+    matvec, and it serves EVERY kernel family including composites
+    (round-3 VERDICT next #4). grad_method="analytic": the hand-derived
+    per-parameter dK-tile path (base families only; kept as the
+    cross-check, mirroring the dense tier's analytic-vs-AD pairing).
+    precond: optional (Lk, Lg, s2) factors for the CG solves.
     """
-    kernel_ops.require_base_kind(kind, "lml_value_and_grad_iterative")
+    if grad_method not in ("ad", "analytic"):
+        raise ValueError(f"unknown grad_method {grad_method!r}")
+    if grad_method == "analytic":
+        kernel_ops.require_base_kind(
+            kind, "lml_value_and_grad_iterative(grad_method='analytic')")
+    else:
+        kernel_ops.validate_kind(kind)
     if key is None:
         key = jax.random.key(0)
     n, d = X.shape
     mv = make_matvec(params, X, kind=kind, jitter=jitter, block=block)
-    alpha, _ = cg_solve(mv, y, tol=tol, max_iters=max_iters)
+    pre = (precond_apply_from_factors(*precond) if precond is not None
+           else None)
+    alpha, _ = cg_solve(mv, y, tol=tol, max_iters=max_iters,
+                        precond_apply=pre)
 
     z = jax.random.rademacher(key, (n, num_probes), dtype=jnp.float32)
-    w, _ = cg_solve(mv, z, tol=tol, max_iters=max_iters)  # K^{-1} z
+    w, _ = cg_solve(mv, z, tol=tol, max_iters=max_iters,
+                    precond_apply=pre)  # K^{-1} z
+
+    if grad_method == "ad":
+        alpha_c = jax.lax.stop_gradient(alpha)
+        w_c = jax.lax.stop_gradient(w)
+        z_c = jax.lax.stop_gradient(z)
+
+        def estimator(p):
+            # method="xla": the blocked AD-safe tile path (the fused
+            # Pallas matvec has no JVP rule); remat inside make_matvec
+            # keeps the backward pass O(block * n) memory
+            mvp = make_matvec(p, X, kind=kind, jitter=jitter, block=block,
+                              method="xla")
+            quad = jnp.dot(alpha_c, mvp(alpha_c))
+            tr = jnp.mean(jnp.sum(w_c * mvp(z_c), axis=0))
+            return 0.5 * (quad - tr)
+
+        grads = jax.grad(estimator)(params)
+        value = -0.5 * jnp.dot(y, alpha)  # quad term only (no logdet)
+        return value, grads
 
     sn2 = jnp.exp(params["log_noise_var"])
     grads = {}
@@ -648,3 +804,43 @@ def lml_value_and_grad_iterative(params, X, y, key=None, kind="rbf",
 
     value = -0.5 * jnp.dot(y, alpha)  # quad term only (no logdet)
     return value, grads
+
+
+# ---- Split-program training step (crash-surface discipline) -----------
+# The fit driver at n >= ~64k on the tunneled chip must not fuse
+# solve + probes + gradient sweep into one program (round-3 PERF.md:
+# fused precond+CG programs fault the remote worker). These three small
+# jitted programs compose to exactly lml_value_and_grad_iterative's
+# "ad" path; map_opt.fit_iterative picks fused vs split by n.
+
+@partial(jax.jit, static_argnames=("kind", "jitter", "block", "tol",
+                                   "max_iters"))
+def cg_solve_program(params, X, b, precond=None, kind="rbf", jitter=1e-6,
+                     block=4096, tol=1e-5, max_iters=500):
+    """One CG solve as its own program: (K + noise I) x = b."""
+    mv = make_matvec(params, X, kind=kind, jitter=jitter, block=block)
+    pre = (precond_apply_from_factors(*precond) if precond is not None
+           else None)
+    return cg_solve(mv, b, tol=tol, max_iters=max_iters, precond_apply=pre)
+
+
+@partial(jax.jit, static_argnames=("kind", "jitter", "block"))
+def hutchinson_grads_program(params, X, alpha, w, z, kind="rbf",
+                             jitter=1e-6, block=4096):
+    """Gradient sweep given precomputed solves (alpha = K^-1 y,
+    w = K^-1 z): one rematerialized backward pass of
+    1/2 (alpha^T K(p) alpha - mean_z w^T K(p) z). Serves every kernel
+    family including composites (same estimator as the fused "ad" path).
+    """
+    alpha = jax.lax.stop_gradient(alpha)
+    w = jax.lax.stop_gradient(w)
+    z = jax.lax.stop_gradient(z)
+
+    def estimator(p):
+        mvp = make_matvec(p, X, kind=kind, jitter=jitter, block=block,
+                          method="xla")
+        quad = jnp.dot(alpha, mvp(alpha))
+        tr = jnp.mean(jnp.sum(w * mvp(z), axis=0))
+        return 0.5 * (quad - tr)
+
+    return jax.grad(estimator)(params)

@@ -150,3 +150,121 @@ def weak_log_prior(params):
     hmc.default_log_prior (which acts on the flat chain vector)."""
     leaves = jax.tree_util.tree_leaves(params)
     return sum(jnp.sum(-0.5 * (v / 3.0) ** 2) for v in leaves)
+
+
+def fit_iterative(init_params, X, y, *, kind="rbf", jitter=1e-6, steps=50,
+                  learning_rate=0.05, block=4096, tol=1e-4, max_iters=400,
+                  num_probes=16, precond_rank=128, precond_refresh=10,
+                  precond_where="auto", split_programs="auto", key=None,
+                  log_prior=None, grad_method="ad", callback=None,
+                  verbose=False):
+    """Matrix-free MAP fit — hyperparameter LEARNING beyond the dense
+    ceiling (round-3 VERDICT next #1: BASELINE.json:5's training loop at
+    BASELINE.json:11's scale, on one chip).
+
+    Adam over the Hutchinson gradient estimator
+    (inference/iterative.lml_value_and_grad_iterative): per step, two
+    preconditioned CG solves (alpha = K^-1 y and K^-1 z for the probe
+    block) plus one rematerialized AD sweep give every hyperparameter
+    gradient without ever forming K. The optimizer loop deliberately
+    runs on the HOST, not in lax.scan: each likelihood evaluation at
+    n >= 100k is minutes of device work split across small programs
+    (the tunneled chip's crash discipline, PERF.md round 3), and a
+    ~100-microsecond host Adam update per step is invisible next to it.
+
+    precond_rank > 0: pivoted-Cholesky preconditioner factors, rebuilt
+    every `precond_refresh` steps (hyperparameters move, the
+    preconditioner goes stale) — built on the host (precond_where="host",
+    default on TPU: the rank-k pivot scan is the program class that
+    faults the tunneled worker at n >= 64k) or on device ("device",
+    default elsewhere).
+    split_programs: True runs solve / probe-solve / gradient-sweep as
+    three separate programs (auto: n >= 32768); False fuses them into
+    lml_value_and_grad_iterative (cheaper at small n).
+    callback: optional fn(step, params, value, grads) for metrics.
+
+    Stochasticity note: the probe key is fold_in(key, step), so the
+    trace-term MC noise is fresh each step — Adam sees an unbiased
+    gradient estimate (SGD-style), and num_probes controls its variance.
+
+    Returns (params, info): info["loss"] is the per-step NEGATIVE
+    quad-form objective trace (-(-1/2 y^T alpha [+ log prior])); the
+    logdet term is excluded by construction (its gradient is the
+    Hutchinson term, but its value would need SLQ per step — see
+    iterative.lml_iterative for comparable values).
+    """
+    import sys
+
+    import numpy as np
+
+    from cugp_tpu.inference import iterative
+    from cugp_tpu.ops import kernels as kernel_ops
+
+    kernel_ops.validate_kind(kind)
+    if key is None:
+        key = jax.random.key(0)
+    n = X.shape[0]
+    if split_programs == "auto":
+        split_programs = n >= 32768
+    if precond_where == "auto":
+        precond_where = "host" if jax.default_backend() == "tpu" else "device"
+
+    def build_precond(p):
+        if not precond_rank:
+            return None
+        if precond_where == "host":
+            return iterative.precond_factors_host(
+                p, X, precond_rank, kind=kind, jitter=jitter,
+                verbose=verbose)
+        return iterative.precond_factors(p, X, precond_rank, kind=kind,
+                                         jitter=jitter)
+
+    prior_vg = (jax.jit(jax.value_and_grad(log_prior))
+                if log_prior is not None else None)
+
+    tx = optax.adam(learning_rate)
+    params = init_params
+    opt_state = tx.init(params)
+    losses = []
+    precond = None
+    for step in range(steps):
+        if precond_rank and step % precond_refresh == 0:
+            precond = build_precond(params)
+        kstep = jax.random.fold_in(key, step)
+        if split_programs:
+            z = jax.random.rademacher(kstep, (n, num_probes),
+                                      dtype=jnp.float32)
+            alpha, _ = iterative.cg_solve_program(
+                params, X, y, precond=precond, kind=kind, jitter=jitter,
+                block=block, tol=tol, max_iters=max_iters)
+            w, _ = iterative.cg_solve_program(
+                params, X, z, precond=precond, kind=kind, jitter=jitter,
+                block=block, tol=tol, max_iters=max_iters)
+            grads = iterative.hutchinson_grads_program(
+                params, X, alpha, w, z, kind=kind, jitter=jitter,
+                block=block)
+            value = -0.5 * jnp.dot(y, alpha)
+        else:
+            value, grads = iterative.lml_value_and_grad_iterative(
+                params, X, y, key=kstep, kind=kind, jitter=jitter,
+                block=block, tol=tol, max_iters=max_iters,
+                num_probes=num_probes, precond=precond,
+                grad_method=grad_method)
+        if prior_vg is not None:
+            pv, pg = prior_vg(params)
+            value = value + pv
+            grads = jax.tree.map(jnp.add, grads, pg)
+        # maximize: Adam minimizes, so feed negated gradients
+        neg = jax.tree.map(jnp.negative, grads)
+        updates, opt_state = tx.update(neg, opt_state, params)
+        params = _clamp(optax.apply_updates(params, updates))
+        loss = -float(value)
+        losses.append(loss)
+        if callback is not None:
+            callback(step, params, float(value), grads)
+        if verbose:
+            print(f"# fit_iterative step {step}: quad-obj={-loss:.4f}",
+                  file=sys.stderr, flush=True)
+    info = {"loss": jnp.asarray(np.asarray(losses, np.float32)),
+            "lml": -losses[-1] if losses else float("nan")}
+    return params, info

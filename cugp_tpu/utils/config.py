@@ -42,6 +42,16 @@ class FitConfig:
     optimizer: str = "adam"      # adam | lbfgs
     learning_rate: float = 0.05
     objective: str = "lml"       # lml | loo (GPML 5.4.2 pseudo-likelihood)
+    engine: str = "dense"        # dense | iterative (matrix-free BBMM
+                                 # training loop for n beyond the dense
+                                 # Cholesky ceiling; map_opt.fit_iterative)
+    # iterative-engine knobs (ignored for engine=dense)
+    precond_rank: int = 128      # pivoted-Cholesky preconditioner rank
+    precond_refresh: int = 10    # steps between preconditioner rebuilds
+    num_probes: int = 16         # Hutchinson probes per gradient step
+    cg_tol: float = 1e-4
+    cg_max_iters: int = 400
+    block: int = 4096            # matvec row-block size
 
 
 @dataclasses.dataclass

@@ -1,0 +1,129 @@
+"""Matrix-free hyperparameter LEARNING (map_opt.fit_iterative) — the
+round-3 VERDICT #1 item: the BBMM-style training loop that serves
+n beyond the dense Cholesky ceiling. CPU-scale checks here; the n>=100k
+on-chip capture lives in benchmarks/bench_fit_iterative.py + PERF.md.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cugp_tpu.data import synthetic
+from cugp_tpu.inference import map_opt
+from cugp_tpu.ops import kernels as kops
+
+
+@pytest.fixture(scope="module")
+def data():
+    X, y, _ = synthetic.sinusoid_1d(n=400, noise_std=0.15, seed=0)
+    return jnp.asarray(X, jnp.float32), jnp.asarray(y, jnp.float32)
+
+
+def test_fit_iterative_tracks_dense_fit(data):
+    """Same objective, same optimizer: the matrix-free fit must land near
+    the dense Adam fit from the same (deliberately wrong) init. The
+    Hutchinson trace gradient is stochastic, so agreement is in log-
+    hyperparameter space with MC slack, not bitwise."""
+    X, y = data
+    init = kops.init_params(d=1, lengthscale=2.5, signal_var=0.3,
+                            noise_var=0.5)
+    p_dense, _ = map_opt.fit(init, X, y, steps=60, learning_rate=0.1)
+    p_it, info = map_opt.fit_iterative(
+        init, X, y, steps=60, learning_rate=0.1, block=128, tol=1e-6,
+        max_iters=1000, num_probes=32, precond_rank=0,
+        key=jax.random.key(0))
+    assert np.isfinite(np.asarray(info["loss"])).all()
+    for k in p_dense:
+        np.testing.assert_allclose(np.asarray(p_it[k]),
+                                   np.asarray(p_dense[k]), atol=0.35,
+                                   err_msg=k)
+
+
+def test_fit_iterative_split_matches_fused(data):
+    """split_programs=True (three programs per step — the large-n crash
+    discipline) computes the same update as the fused program."""
+    X, y = data
+    init = kops.init_params(d=1, lengthscale=1.5, noise_var=0.3)
+    kw = dict(steps=5, learning_rate=0.1, block=128, tol=1e-7,
+              max_iters=2000, num_probes=16, precond_rank=16,
+              precond_refresh=2, precond_where="device",
+              key=jax.random.key(1))
+    p_fused, _ = map_opt.fit_iterative(init, X, y, split_programs=False,
+                                       **kw)
+    p_split, _ = map_opt.fit_iterative(init, X, y, split_programs=True,
+                                       **kw)
+    for k in p_fused:
+        np.testing.assert_allclose(np.asarray(p_split[k]),
+                                   np.asarray(p_fused[k]), atol=5e-3,
+                                   err_msg=k)
+
+
+def test_fit_iterative_composite(data):
+    """Composite kinds LEARN through the AD estimator (round-3 VERDICT
+    next #4): structure-preserving grads, finite loss, moving params."""
+    X, y = data
+    init = kops.default_init("rbf+linear", d=1)
+    params, info = map_opt.fit_iterative(
+        init, X, y, kind="rbf+linear", steps=8, learning_rate=0.1,
+        block=128, tol=1e-6, max_iters=1000, num_probes=16,
+        precond_rank=0, key=jax.random.key(2))
+    assert np.isfinite(np.asarray(info["loss"])).all()
+    assert jax.tree.structure(params) == jax.tree.structure(init)
+    moved = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))),
+                         params, init)
+    assert max(jax.tree.leaves(moved)) > 1e-3
+
+
+def test_fit_iterative_with_prior(data):
+    """log_prior pulls the MAP toward the prior mode (same contract as
+    map_opt.fit(log_prior=...))."""
+    X, y = data
+    init = kops.init_params(d=1, lengthscale=1.0, noise_var=0.2)
+
+    p_free, _ = map_opt.fit_iterative(
+        init, X, y, steps=30, learning_rate=0.1, block=128, tol=1e-6,
+        max_iters=1000, num_probes=32, precond_rank=0,
+        key=jax.random.key(3))
+
+    def tight_prior(p):  # N(0, 0.05^2) on log_lengthscale only
+        return jnp.sum(-0.5 * (p["log_lengthscale"] / 0.05) ** 2)
+
+    p_prior, _ = map_opt.fit_iterative(
+        init, X, y, steps=30, learning_rate=0.1, block=128, tol=1e-6,
+        max_iters=1000, num_probes=32, precond_rank=0,
+        key=jax.random.key(3), log_prior=tight_prior)
+    assert (abs(float(p_prior["log_lengthscale"][0]))
+            < abs(float(p_free["log_lengthscale"][0])))
+
+
+def test_gp_facade_fit_iterative(data):
+    """GP.fit_iterative conditions the facade for prediction."""
+    from cugp_tpu.api import GP
+
+    X, y = data
+    gp = GP(kind="rbf")
+    info = gp.fit_iterative(X, y, steps=10, learning_rate=0.1, block=128,
+                            tol=1e-6, max_iters=500, num_probes=16,
+                            precond_rank=0, key=jax.random.key(4))
+    assert np.isfinite(np.asarray(info["loss"])).all()
+    mu, var = gp.predict(X[:16])
+    assert np.isfinite(np.asarray(mu)).all()
+    # matrix-free predict agrees with the dense posterior post-fit
+    mu_it, var_it = gp.predict_iterative(X[:16], tol=1e-7)
+    np.testing.assert_allclose(np.asarray(mu_it), np.asarray(mu), atol=2e-3)
+
+
+def test_cli_fit_engine_iterative(capsys):
+    from cugp_tpu.cli.__main__ import main
+
+    rc = main(["fit", "--data.n=256", "--fit.engine=iterative",
+               "--fit.steps=8", "--fit.learning_rate=0.1",
+               "--fit.precond_rank=0", "--fit.num_probes=8",
+               "--fit.block=128"])
+    assert rc == 0
+    import json
+
+    out = json.loads(capsys.readouterr().out)
+    assert np.isfinite(out["lml"])
+    assert "log_lengthscale" in out["params"]

