@@ -10,12 +10,22 @@ frontier": 96 chains x 40 transitions ok, 128x40 and 96x112 crash;
 --chain_block=16 lifts the single-program envelope from 32 to 96
 chains), so larger chain counts are reached by running
 batches of --batch chains through the SAME compiled sampler program
-sequentially (fresh RNG key per batch). Chains are independent samplers —
-adaptation is shared within a batch only — so B sequential batches of 32
-are statistically identical to 8 independent 32-chain samplers, and the
-reported posterior_samples_per_s is total draws / total wall time. The
-first batch's wall time includes compilation; steady-state per-batch time
-is reported separately.
+sequentially (fresh RNG key per batch).
+
+--share_adapt=1 (default): warmup adaptation runs ONCE — the first
+batch's pooled (eps, inv_mass) is reused by every later batch, which
+skips warmup entirely (hmc.sample_segment with the carried tuning).
+That matches the spec'd 256-pooled-adaptation statistics up to which
+chains contributed the moments (chains are iid, so 32 chains' pooled
+moments estimate the same quantities), and makes later batches pure
+sampling. --share_adapt=0 is the round-3 behavior (independent warmup
+per batch). The reported posterior_samples_per_s is total draws /
+total wall; the first batch's wall includes compilation + warmup,
+steady-state per-batch time is reported separately.
+
+--engine=iterative: every density evaluation is matrix-free CG+SLQ
+(sampling.make_iterative_logprob) — the hyperparameter-HMC-at-scale
+config (round-3 VERDICT next #2); --probes/--precond_rank apply.
 """
 
 import json
@@ -48,26 +58,72 @@ def main(argv=None):
     batch = (chains if chain_block else
              int(args.get("--batch", min(chains, 32 if on_tpu else chains))))
 
+    share_adapt = args.get("--share_adapt", "1") != "0"
+    engine = args.get("--engine", "dense")
+    probes = int(args.get("--probes", 16))
+    precond_rank = int(args.get("--precond_rank", 0))
+    n_leapfrog = int(args.get("--leapfrog", 32))
+
     from cugp_tpu.data import synthetic
-    from cugp_tpu.ops import kernels as kops
+    from cugp_tpu.inference import hmc as hmc_lib
+    from cugp_tpu.inference import nuts as nuts_lib
     from cugp_tpu.inference import sampling
+    from cugp_tpu.ops import kernels as kops
 
     X, y, _ = synthetic.sinusoid_1d(n=n, noise_std=0.1, seed=0)
     Xj = jnp.asarray(X, jnp.float32)
     yj = jnp.asarray(y, jnp.float32)
     init = kops.init_params(d=1, lengthscale=0.8, noise_var=0.05)
 
+    if engine == "iterative":
+        precond = None
+        if precond_rank:
+            from cugp_tpu.inference import iterative
+
+            builder = (iterative.precond_factors_host if on_tpu
+                       else iterative.precond_factors)
+            precond = builder(init, Xj, precond_rank, kind="rbf")
+        logprob_and_grad, _unravel, q0 = sampling.make_iterative_logprob(
+            init, Xj, yj, kind="rbf", num_probes=probes, precond=precond)
+    else:
+        logprob_and_grad, _unravel, q0 = sampling.make_flat_logprob(
+            init, Xj, yj, kind="rbf", method="auto")
+
+    if sampler == "nuts":
+        kernel = nuts_lib.make_nuts_kernel(logprob_and_grad, max_depth=6,
+                                           chain_block=chain_block)
+    else:
+        kernel = hmc_lib.make_hmc_kernel(logprob_and_grad, n_leapfrog,
+                                         chain_block=chain_block)
+
+    seg_jit = jax.jit(hmc_lib.sample_segment,
+                      static_argnames=("kernel", "num_draws"))
+    warm_jit = jax.jit(hmc_lib.warmup_adapt,
+                       static_argnames=("kernel", "num_warmup",
+                                        "target_accept"))
+
+    def init_state(key, n_chains):
+        qs0 = sampling.init_chains(q0, key, n_chains)
+        logp0, grad0 = hmc_lib.blocked_chains(
+            lambda q, _k: logprob_and_grad(q), chain_block)(
+                qs0, jax.random.split(jax.random.key(0), n_chains))
+        return hmc_lib.HMCState(qs0, logp0, grad0)
+
     n_batches = -(-chains // batch)
     batch_times, accepts = [], []
+    eps = inv_mass = None
     t0 = time.perf_counter()
     for b in range(n_batches):
         tb = time.perf_counter()
-        out = sampling.sample_hyperparams(
-            init, Xj, yj, kind="rbf", method="auto", sampler=sampler,
-            num_chains=batch, num_samples=samples, num_warmup=warmup,
-            max_tree_depth=6, key=jax.random.key(1000 + b),
-            chain_block=chain_block)
-        accepts.append(float(out["accept_rate"]))  # forces completion
+        kb = jax.random.fold_in(jax.random.key(1000), b)
+        k_init, k1, k2, k3, k_draw = jax.random.split(kb, 5)
+        state = init_state(k_init, batch)
+        if eps is None or not share_adapt:
+            state, eps, inv_mass = warm_jit(state, (k1, k2, k3), kernel,
+                                            warmup, 0.1, 0.8)
+        state, qs, aprobs, _aux = seg_jit(state, k_draw, kernel, eps,
+                                          inv_mass, samples)
+        accepts.append(float(jnp.mean(aprobs)))  # forces completion
         batch_times.append(time.perf_counter() - tb)
     dt = time.perf_counter() - t0
 
@@ -79,6 +135,9 @@ def main(argv=None):
         "chain_batch": batch, "n_batches": n_batches,
         "chain_block": chain_block,
         "single_program": bool(chain_block or n_batches == 1),
+        "share_adapt": bool(share_adapt), "engine": engine,
+        **({"probes": probes, "precond_rank": precond_rank}
+           if engine == "iterative" else {}),
         "samples_per_chain": samples,
         "wall_s": round(dt, 2),
         "posterior_samples_per_s": round(total_draws / dt, 1),

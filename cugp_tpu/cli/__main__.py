@@ -142,7 +142,24 @@ def cmd_sample(cfg):
             chain_block=cfg.sample.chain_block,
             key=jax.random.key(cfg.sample.seed),
         )
-    else:
+    elif cfg.sample.engine == "iterative":
+        # matrix-free LML per transition: hyperparameter posteriors at n
+        # beyond the dense ceiling (sampling.sample_hyperparams_iterative)
+        from cugp_tpu.inference import sampling
+
+        res = sampling.sample_hyperparams_iterative(
+            gp.params, gp.X, gp.y, kind=cfg.model.kind,
+            jitter=cfg.model.jitter,
+            num_samples=cfg.sample.num_samples,
+            num_chains=cfg.sample.num_chains,
+            num_warmup=cfg.sample.num_warmup, sampler=cfg.sample.sampler,
+            max_tree_depth=cfg.sample.max_tree_depth,
+            chain_block=cfg.sample.chain_block,
+            num_probes=cfg.sample.num_probes,
+            precond_rank=cfg.sample.precond_rank,
+            key=jax.random.key(cfg.sample.seed),
+        )
+    elif cfg.sample.engine == "dense":
         res = gp.sample_hyperparams(
             num_samples=cfg.sample.num_samples,
             num_chains=cfg.sample.num_chains,
@@ -151,6 +168,9 @@ def cmd_sample(cfg):
             chain_block=cfg.sample.chain_block,
             key=jax.random.key(cfg.sample.seed),
         )
+    else:
+        raise ValueError(
+            f"unknown sample.engine {cfg.sample.engine!r}: dense | iterative")
     dt = time.perf_counter() - t0
     from cugp_tpu.inference import sampling as sampling_lib
 

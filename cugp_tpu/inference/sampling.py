@@ -305,3 +305,132 @@ def effective_sample_size(x, max_lag=100):
     pos = jnp.cumprod(rhos > 0, axis=0).astype(rhos.dtype)
     tau = 1.0 + 2.0 * jnp.sum(rhos * pos, axis=0)
     return jnp.sum(s / jnp.maximum(tau, 1.0))
+
+
+def make_iterative_logprob(init_params, X, y, *, kind="rbf", jitter=1e-6,
+                           block=4096, tol=1e-5, max_iters=500,
+                           num_probes=16, num_steps=32, probe_key=None,
+                           precond=None,
+                           log_prior=hmc_lib.default_log_prior):
+    """(logprob_and_grad, unravel, q0) over the flat vector with the
+    MATRIX-FREE LML — hyperparameter posteriors at n beyond the dense
+    Cholesky ceiling (round-3 VERDICT next #2; the second half of
+    BASELINE.json:11's config-5, with the distributed LML replaced by
+    the single-chip iterative tier).
+
+    Per evaluation: preconditioned CG for alpha = K^-1 y (quadratic
+    term), batched-Lanczos SLQ for the logdet, one probe CG + a
+    rematerialized AD sweep for the gradient (inference/iterative).
+
+    Stochastic-bias choice (documented per the VERDICT): the Rademacher
+    probes are drawn ONCE from `probe_key` and FROZEN across every
+    transition, chain, and leapfrog step. The sampler therefore targets
+    a fixed deterministic approximation of the posterior — logdet and
+    trace carry an O(1/sqrt(num_probes)) approximation error, but the
+    Markov chain itself is exact for that approximate target (detailed
+    balance holds; no per-step MC noise to break it). Re-drawing probes
+    per step would unbias the gradient but make the target density
+    itself noisy — pseudo-marginal territory without the accept-rule
+    correction — so frozen probes are the defensible default.
+
+    precond: optional (Lk, Lg, s2) factors built at a representative
+    hyperparameter point. The preconditioner only shapes CG's
+    convergence, never its fixed point, so staleness over the trajectory
+    costs iterations, not correctness.
+    """
+    from cugp_tpu.inference import iterative
+
+    q0, unravel = ravel_pytree(init_params)
+    if probe_key is None:
+        probe_key = jax.random.key(7)
+    n = X.shape[0]
+    z = jax.random.rademacher(probe_key, (n, num_probes),
+                              dtype=jnp.float32)
+    LOG2PI = 1.8378770664093453
+
+    def logprob_and_grad(q):
+        p = unravel(q)
+        mv = iterative.make_matvec(p, X, kind=kind, jitter=jitter,
+                                   block=block)
+        pre = (iterative.precond_apply_from_factors(*precond)
+               if precond is not None else None)
+        alpha, _ = iterative.cg_solve(mv, y, tol=tol, max_iters=max_iters,
+                                      precond_apply=pre)
+        w, _ = iterative.cg_solve(mv, z, tol=tol, max_iters=max_iters,
+                                  precond_apply=pre)
+        logdet = iterative.slq_logdet(mv, n, probe_key,
+                                      num_probes=num_probes,
+                                      num_steps=num_steps)
+        value = (-0.5 * jnp.dot(y, alpha) - 0.5 * logdet
+                 - 0.5 * n * LOG2PI)
+
+        alpha_c = jax.lax.stop_gradient(alpha)
+        w_c = jax.lax.stop_gradient(w)
+
+        def estimator(pp):
+            mvp = iterative.make_matvec(pp, X, kind=kind, jitter=jitter,
+                                        block=block, method="xla")
+            quad = jnp.dot(alpha_c, mvp(alpha_c))
+            tr = jnp.mean(jnp.sum(w_c * mvp(z), axis=0))
+            return 0.5 * (quad - tr)
+
+        g_lml = ravel_pytree(jax.grad(estimator)(p))[0]
+        pv, pg = jax.value_and_grad(log_prior)(q)
+        return value + pv, g_lml + pg
+
+    return logprob_and_grad, unravel, q0
+
+
+def sample_hyperparams_iterative(
+        init_params, X, y, *, kind="rbf", jitter=1e-6, num_samples=256,
+        num_chains=8, num_warmup=128, sampler="hmc", key=None,
+        n_leapfrog=16, max_tree_depth=8, eps0=0.05, target_accept=0.8,
+        log_prior=hmc_lib.default_log_prior, chain_block=0, block=4096,
+        tol=1e-5, max_iters=500, num_probes=16, num_steps=32,
+        precond_rank=0, precond_where="auto", probe_key=None):
+    """NUTS/HMC over kernel hyperparameters with the matrix-free LML.
+
+    Same contract as sample_hyperparams, but every density evaluation is
+    CG + SLQ instead of a dense Cholesky — K is never formed, so the
+    hyperparameter posterior is reachable at n = 32k-100k+ on one chip.
+    precond_rank > 0 builds pivoted-Cholesky factors ONCE at init_params
+    (host- or device-side per precond_where) and reuses them for every
+    transition (see make_iterative_logprob on staleness).
+    """
+    from cugp_tpu.inference import iterative
+
+    if key is None:
+        key = jax.random.key(0)
+    precond = None
+    if precond_rank:
+        if precond_where == "auto":
+            precond_where = ("host" if jax.default_backend() == "tpu"
+                             else "device")
+        if precond_where == "host":
+            precond = iterative.precond_factors_host(
+                init_params, X, precond_rank, kind=kind, jitter=jitter)
+        else:
+            precond = iterative.precond_factors(
+                init_params, X, precond_rank, kind=kind, jitter=jitter)
+    logprob_and_grad, unravel, q0 = make_iterative_logprob(
+        init_params, X, y, kind=kind, jitter=jitter, block=block, tol=tol,
+        max_iters=max_iters, num_probes=num_probes, num_steps=num_steps,
+        probe_key=probe_key, precond=precond, log_prior=log_prior)
+    key_init, key_run = jax.random.split(key)
+    qs0 = init_chains(q0, key_init, num_chains)
+    if sampler == "nuts":
+        out = nuts_lib.run_nuts(
+            qs0, key_run, logprob_and_grad, max_depth=max_tree_depth,
+            num_warmup=num_warmup, num_samples=num_samples, eps0=eps0,
+            target_accept=target_accept, chain_block=chain_block)
+    elif sampler == "hmc":
+        out = hmc_lib.run_hmc(
+            qs0, key_run, logprob_and_grad, n_leapfrog=n_leapfrog,
+            num_warmup=num_warmup, num_samples=num_samples, eps0=eps0,
+            target_accept=target_accept, chain_block=chain_block)
+    else:
+        raise ValueError(f"unknown sampler: {sampler}")
+    flat = out.pop("samples_flat")
+    out["samples"] = jax.vmap(jax.vmap(unravel))(flat)
+    out["samples_flat"] = flat
+    return out

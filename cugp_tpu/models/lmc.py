@@ -186,3 +186,140 @@ def fit(init_params, X, Y, *, kind="rbf", jitter=1e-6, method="auto",
 
     params, losses = run(init_params, X, Y)
     return params, {"loss": losses, "lml": -losses[-1]}
+
+
+# ---- True LMC: sum_q B_q (x) K_q with DISTINCT latent kernels --------
+# (round-3 VERDICT next #10). The ICM model above shares ONE kernel
+# across outputs, so its single-eigh rotation trick applies; with
+# distinct per-latent kernels (e.g. one periodic + one RBF latent
+# process) no common rotation diagonalizes every term, and exact
+# inference factors the joint pn x pn covariance directly. For the
+# small output counts LMC is used with (p = 2..8), pn stays within the
+# dense Cholesky tier, and the blocked MXU factorization is the right
+# tool. Rank-1 coregionalization per latent (B_q = a_q a_q^T, the
+# semiparametric-latent-factor form); latent kernels carry UNIT
+# amplitude — a_q holds the scale, killing the amplitude redundancy.
+
+
+def init_lmcq_params(d, p, kinds, lengthscale=1.0, noise_var=0.1, seed=0):
+    """Params for the rank-Q LMC: one unit-amplitude kernel param dict
+    per latent (kinds[q] sets its family) + mixing vectors a_q.
+
+    Returns {"log_noise_var", "lmc_a": (Q, p), "latents": [fp_q, ...]}
+    where each fp_q has log_lengthscale (+ family extras), NO
+    log_signal_var / log_noise_var.
+    """
+    latents = []
+    for q, kind in enumerate(kinds):
+        fp = kernel_ops.default_init(kind, d=d, lengthscale=lengthscale)
+        fp.pop("log_signal_var", None)
+        fp.pop("log_noise_var", None)
+        latents.append(fp)
+    key = jax.random.key(seed)
+    # distinct non-degenerate init so latents specialize during fitting
+    a0 = 1.0 + 0.3 * jax.random.normal(key, (len(kinds), p), jnp.float32)
+    return {
+        "log_noise_var": jnp.asarray(math.log(noise_var), jnp.float32),
+        "lmc_a": a0,
+        "latents": latents,
+    }
+
+
+def _latent_unit_params(fp):
+    out = dict(fp)
+    out["log_signal_var"] = jnp.zeros((), jnp.float32)
+    return out
+
+
+def lmcq_covariance(params, X1, X2, kinds):
+    """(p*n1, p*n2) joint cross-covariance sum_q (a_q a_q^T) (x) K_q,
+    output-major vec layout (row a*n1 + i <-> output a, input i).
+    Each latent's n1 x n2 tile rides the MXU builders once; the p x p
+    mixing expands it by einsum — no pn x pn intermediate per latent.
+    """
+    n1, n2 = X1.shape[0], X2.shape[0]
+    p = params["lmc_a"].shape[1]
+    Ks = [kernel_ops.cross_covariance(
+        _latent_unit_params(fp), X1, X2, kind=kind, method="xla")
+        for fp, kind in zip(params["latents"], kinds)]
+    Kq = jnp.stack(Ks)                       # (Q, n1, n2)
+    A = params["lmc_a"]                      # (Q, p)
+    S = jnp.einsum("qa,qb,qij->aibj", A, A, Kq, precision=_HI)
+    return S.reshape(p * n1, p * n2)
+
+
+def _lmcq_chol(params, X, kinds, jitter):
+    n = X.shape[0]
+    p = params["lmc_a"].shape[1]
+    S = lmcq_covariance(params, X, X, kinds)
+    sn2 = jnp.exp(params["log_noise_var"])
+    # jitter scales with the total prior variance (sum_q a_qa^2)
+    scale = jnp.max(jnp.sum(params["lmc_a"] ** 2, axis=0))
+    S = S + (sn2 + jitter * scale) * jnp.eye(p * n, dtype=S.dtype)
+    return chol_ops.cholesky(S, method="xla")
+
+
+@partial(jax.jit, static_argnames=("kinds", "jitter"))
+def log_marginal_likelihood_lmcq(params, X, Y, kinds, jitter=1e-6):
+    """Exact LML of the rank-Q LMC: log N(vec(Y^T) | 0, Sigma)."""
+    n, p = Y.shape
+    L = _lmcq_chol(params, X, kinds, jitter)
+    yv = Y.T.reshape(-1)  # output-major
+    alpha = trsm_ops.cho_solve(L, yv[:, None], method="xla")[:, 0]
+    return (-0.5 * jnp.dot(yv, alpha)
+            - jnp.sum(jnp.log(jnp.diagonal(L)))
+            - 0.5 * n * p * LOG2PI)
+
+
+@partial(jax.jit, static_argnames=("kinds", "jitter", "include_noise"))
+def posterior_lmcq(params, X, Y, Xs, kinds, jitter=1e-6,
+                   include_noise=False):
+    """Posterior mean (m, p) and per-output variance (m, p) at Xs."""
+    n, p = Y.shape
+    m = Xs.shape[0]
+    L = _lmcq_chol(params, X, kinds, jitter)
+    yv = Y.T.reshape(-1)
+    alpha = trsm_ops.cho_solve(L, yv[:, None], method="xla")[:, 0]
+    Kcross = lmcq_covariance(params, X, Xs, kinds)      # (pn, pm)
+    mu = (Kcross.mT @ alpha).reshape(p, m).T            # (m, p)
+    # prior variance of output a at xs: sum_q a_qa^2 k_q(xs, xs)
+    diags = jnp.stack([kernel_ops.kernel_diag(
+        _latent_unit_params(fp), Xs, kind)
+        for fp, kind in zip(params["latents"], kinds)])  # (Q, m)
+    prior = jnp.einsum("qa,qm->ma", params["lmc_a"] ** 2, diags)
+    v = trsm_ops.solve_lx(L, Kcross)                    # (pn, pm)
+    var = prior - jnp.sum(v * v, axis=0).reshape(p, m).T
+    if include_noise:
+        var = var + jnp.exp(params["log_noise_var"])
+    return mu, jnp.maximum(var, 0.0)
+
+
+def fit_lmcq(init_params, X, Y, *, kinds, jitter=1e-6, steps=200,
+             learning_rate=0.05):
+    """MAP fit of the rank-Q LMC (jitted lax.scan Adam, same shape as
+    fit() above; lmc_a unconstrained, log-space leaves box-clamped)."""
+    import optax
+
+    from cugp_tpu.inference import map_opt
+
+    tx = optax.apply_if_finite(optax.adam(learning_rate), 100)
+
+    @jax.jit
+    def run(params, X, Y):
+        state = tx.init(params)
+
+        def step(carry, _):
+            p_, s = carry
+            val, g = jax.value_and_grad(
+                lambda pp: -log_marginal_likelihood_lmcq(
+                    pp, X, Y, kinds, jitter=jitter))(p_)
+            updates, s = tx.update(g, s, p_)
+            p_ = map_opt._clamp(optax.apply_updates(p_, updates))
+            return (p_, s), val
+
+        (params, _), losses = jax.lax.scan(step, (params, state), None,
+                                           length=steps)
+        return params, losses
+
+    params, losses = run(init_params, X, Y)
+    return params, {"loss": losses, "lml": -losses[-1]}

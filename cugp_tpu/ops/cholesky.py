@@ -53,29 +53,46 @@ def _base_potrf(a, method):
 # at the top levels, where almost all the time is).
 _SYRK_FULL = 4096
 
+# "mixed" policy: quadrants containing the diagonal keep full-fp32
+# (HIGHEST) updates at or below this size; strictly-off-diagonal update
+# GEMMs run at HIGH (bf16_3x — same fp32 accumulator, 3 bf16 input
+# passes instead of 6, ~the MXU's nominal rate). Error analysis: the
+# Cholesky recursion is only sensitive where pivots are FORMED (the
+# diagonal path); off-diagonal trailing blocks enter later pivots
+# through a second GEMM that re-rounds anyway. Round-3 VERDICT weak #1 /
+# next #6 experiment.
+_MIXED_DIAG = 4096
+_HIGH = jax.lax.Precision.HIGH
 
-def _syrk_lower(a, p, precision):
+
+def _syrk_lower(a, p, precision, offdiag_precision=None):
     """a - p p^T computed only on (block) lower triangle; upper is garbage.
 
     The classic SYRK saving expressed recursively with static shapes: the
     strictly-upper quadrant of each level is returned untouched (callers —
     the Cholesky recursion and the base potrf — only read the lower
     triangle, see _base_potrf's symmetrization).
+
+    offdiag_precision: optional lower precision for the strictly-off-
+    diagonal quadrants (the "mixed" policy); diagonal-containing
+    quadrants recurse at `precision` until <= _MIXED_DIAG.
     """
     n = a.shape[-1]
-    if n <= _SYRK_FULL:
+    off = offdiag_precision
+    if n <= (_SYRK_FULL if off is None else _MIXED_DIAG):
         return a - jnp.matmul(p, p.mT, precision=precision)
     m = _split_point(n)
-    a11 = _syrk_lower(a[..., :m, :m], p[..., :m, :], precision)
+    a11 = _syrk_lower(a[..., :m, :m], p[..., :m, :], precision, off)
     a21 = a[..., m:, :m] - jnp.matmul(p[..., m:, :], p[..., :m, :].mT,
-                                      precision=precision)
-    a22 = _syrk_lower(a[..., m:, m:], p[..., m:, :], precision)
+                                      precision=precision if off is None
+                                      else off)
+    a22 = _syrk_lower(a[..., m:, m:], p[..., m:, :], precision, off)
     top = jnp.concatenate([a11, a[..., :m, m:]], axis=-1)
     bot = jnp.concatenate([a21, a22], axis=-1)
     return jnp.concatenate([top, bot], axis=-2)
 
 
-def _chol_recursive(a, method, precision):
+def _chol_recursive(a, method, precision, offdiag_precision=None):
     n = a.shape[-1]
     if n <= _BASE:
         return _base_potrf(a, method)
@@ -83,11 +100,11 @@ def _chol_recursive(a, method, precision):
     a11 = a[..., :m, :m]
     a21 = a[..., m:, :m]
     a22 = a[..., m:, m:]
-    l11 = _chol_recursive(a11, method, precision)
+    l11 = _chol_recursive(a11, method, precision, offdiag_precision)
     # L21 = A21 L11^{-T}  (solve X L11^T = A21)
     l21 = trsm_ops.solve_xlt(l11, a21, method=method, precision=precision)
-    s = _syrk_lower(a22, l21, precision)
-    l22 = _chol_recursive(s, method, precision)
+    s = _syrk_lower(a22, l21, precision, offdiag_precision)
+    l22 = _chol_recursive(s, method, precision, offdiag_precision)
     zeros = jnp.zeros(a.shape[:-2] + (m, n - m), dtype=a.dtype)
     top = jnp.concatenate([l11, zeros], axis=-1)
     bot = jnp.concatenate([l21, l22], axis=-1)
@@ -101,6 +118,8 @@ def _cholesky_impl(a, method, precision):
     # panel sweep (exact n^3/3 GEMM FLOPs on paper) measured 487ms because
     # XLA does not alias the per-panel 4GB buffer updates in place. See
     # PERF.md for the full table.
+    if precision == "mixed":
+        return _chol_recursive(a, method, _HI, offdiag_precision=_HIGH)
     return _chol_recursive(a, method, precision)
 
 
@@ -147,6 +166,11 @@ def cholesky(a, method="auto", precision=None):
     precision: matmul precision for the trailing updates (default HIGHEST =
     true fp32; HIGH = bf16_3x is ~1.3x faster and acceptable for
     well-conditioned covariances — validate against the oracle first).
+    "mixed": HIGHEST on the diagonal path (panels, TRSM, diagonal-
+    containing SYRK quadrants <= 4k) + HIGH on strictly-off-diagonal
+    trailing updates — most of the N^3/3 FLOPs at the 3-pass rate while
+    pivots are still formed in full fp32 (gate on the reconstruction
+    residual; see benchmarks/bench_chol_precision.py).
     """
     n = a.shape[-1]
     precision = _HI if precision is None else precision

@@ -80,3 +80,68 @@ def posterior(params, X, Y, Xs, kind="rbf", jitter=1e-6,
         sn2 = np.exp(p64["log_noise_var"])
         cov += sn2 * np.eye(p_out)[None]
     return mean, cov
+
+
+# ---- rank-Q LMC with distinct latent kernels (models/lmc.py lmcq_*) ----
+
+def _latent_unit64(fp):
+    out = {k: np.asarray(v, np.float64) for k, v in fp.items()}
+    out["log_signal_var"] = np.asarray(0.0)
+    return out
+
+
+def _joint_cov_q(params, X1, X2, kinds):
+    A = np.asarray(params["lmc_a"], np.float64)   # (Q, p)
+    S = None
+    for q, (fp, kind) in enumerate(zip(params["latents"], kinds)):
+        Kq = gp_np.kernel_matrix(_latent_unit64(fp), X1, X2, kind)
+        Bq = np.outer(A[q], A[q])
+        term = np.kron(Bq, Kq)
+        S = term if S is None else S + term
+    return S
+
+
+def log_marginal_likelihood_q(params, X, Y, kinds, jitter=1e-6):
+    Y = np.asarray(Y, np.float64)
+    n, p_out = Y.shape
+    S = _joint_cov_q(params, X, X, kinds)
+    sn2 = float(np.exp(np.asarray(params["log_noise_var"], np.float64)))
+    scale = float(np.max(np.sum(np.asarray(params["lmc_a"],
+                                           np.float64) ** 2, axis=0)))
+    S = S + (sn2 + jitter * scale) * np.eye(p_out * n)
+    L = sla.cholesky(S, lower=True)
+    yv = Y.T.reshape(-1)
+    alpha = sla.solve_triangular(
+        L, sla.solve_triangular(L, yv, lower=True), lower=True, trans="T")
+    return float(-0.5 * yv @ alpha - np.sum(np.log(np.diag(L)))
+                 - 0.5 * n * p_out * LOG2PI)
+
+
+def posterior_q(params, X, Y, Xs, kinds, jitter=1e-6, include_noise=False):
+    """Returns (mean (m, p), per-output variance (m, p))."""
+    Y = np.asarray(Y, np.float64)
+    n, p_out = Y.shape
+    m = np.asarray(Xs).shape[0]
+    S = _joint_cov_q(params, X, X, kinds)
+    sn2 = float(np.exp(np.asarray(params["log_noise_var"], np.float64)))
+    scale = float(np.max(np.sum(np.asarray(params["lmc_a"],
+                                           np.float64) ** 2, axis=0)))
+    S = S + (sn2 + jitter * scale) * np.eye(p_out * n)
+    L = sla.cholesky(S, lower=True)
+    yv = Y.T.reshape(-1)
+    alpha = sla.solve_triangular(
+        L, sla.solve_triangular(L, yv, lower=True), lower=True, trans="T")
+    Kcross = _joint_cov_q(params, X, Xs, kinds)     # (pn, pm)
+    mean = (Kcross.T @ alpha).reshape(p_out, m).T
+    A = np.asarray(params["lmc_a"], np.float64)
+    prior = None
+    for q, (fp, kind) in enumerate(zip(params["latents"], kinds)):
+        dq = gp_np.kernel_diag(_latent_unit64(fp), np.asarray(Xs), kind)
+        dq = np.broadcast_to(np.asarray(dq, np.float64), (m,))
+        term = np.outer(dq, A[q] ** 2)              # (m, p)
+        prior = term if prior is None else prior + term
+    V = sla.solve_triangular(L, Kcross, lower=True)
+    var = prior - np.sum(V * V, axis=0).reshape(p_out, m).T
+    if include_noise:
+        var = var + sn2
+    return mean, np.maximum(var, 0.0)

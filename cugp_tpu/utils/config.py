@@ -68,6 +68,11 @@ class SampleConfig:
     seed: int = 0
     checkpoint_every: int = 64   # draws per checkpoint segment (with
                                  # --checkpoint_dir on the sample command)
+    engine: str = "dense"        # dense | iterative (matrix-free LML per
+                                 # transition — hyperparameter posteriors
+                                 # beyond the dense ceiling)
+    num_probes: int = 16         # iterative engine: SLQ/Hutchinson probes
+    precond_rank: int = 0        # iterative engine: CG preconditioner rank
 
 
 @dataclasses.dataclass

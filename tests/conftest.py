@@ -30,6 +30,12 @@ def pytest_configure(config):
     config.addinivalue_line("markers", "perf: performance tests (real TPU only)")
     config.addinivalue_line("markers", "dist: multi-device tests (faked CPU devices)")
     config.addinivalue_line("markers", "slow: long-running tests")
+    config.addinivalue_line(
+        "markers", "deep: heavy tests excluded from the quick smoke tier")
+    config.addinivalue_line(
+        "markers", "quick: auto-applied to every test NOT marked deep/slow "
+        "— `pytest -m quick` is the <5-minute smoke tier; "
+        "`pytest -m 'deep or slow'` (or tests/run_ci.sh) runs the rest")
 
 
 def pytest_collection_modifyitems(config, items):
@@ -39,6 +45,13 @@ def pytest_collection_modifyitems(config, items):
             item.add_marker(pytest.mark.skip(reason="perf tests need real TPU"))
         if "dist" in item.keywords and jax.device_count() < 8:
             item.add_marker(pytest.mark.skip(reason="needs 8 (faked) devices"))
+        # two-tier scheme (round-3 VERDICT next #9): `slow` implies deep;
+        # everything not deep gets `quick` so `-m quick` needs no
+        # per-test bookkeeping
+        if "slow" in item.keywords and "deep" not in item.keywords:
+            item.add_marker(pytest.mark.deep)
+        if "deep" not in item.keywords and "slow" not in item.keywords:
+            item.add_marker(pytest.mark.quick)
 
 
 @pytest.fixture(scope="session")

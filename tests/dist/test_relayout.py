@@ -79,6 +79,7 @@ def test_config5_pipeline_ring_relayout_cholesky(mesh2d, rng):
                                atol=1e-5)
 
 
+@pytest.mark.deep
 def test_to_block_cyclic_matches_permutation(mesh2d, rng):
     """Scheduled exchange == the global permutation, on divisible AND
     non-divisible (padded-exchange) block counts."""
@@ -109,6 +110,7 @@ def test_block_cyclic_relayout_collectives(mesh2d, rng):
     assert txt.count("all-reduce") == 0
 
 
+@pytest.mark.deep
 def test_block_cyclic_cholesky_uses_scheduled_relayout(mesh2d, rng):
     """block_cyclic_cholesky(relayout='all_to_all') == 'gather' == scipy,
     and its HLO carries the all_to_all layout transition."""

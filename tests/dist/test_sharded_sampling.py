@@ -15,6 +15,7 @@ def mesh_dp():
     return mesh_lib.make_mesh(8, dp=4)  # dp=4, r=2, c=1
 
 
+@pytest.mark.deep
 def test_sharded_nuts_runs_and_adapts_identically(mesh_dp):
     from cugp_tpu.parallel import sharded_sampling
     from cugp_tpu.data import synthetic
@@ -41,6 +42,7 @@ def test_sharded_nuts_runs_and_adapts_identically(mesh_dp):
     assert 0.2 < float(out["accept_rate"]) <= 1.0
 
 
+@pytest.mark.deep
 def test_sharded_hmc_runs(mesh_dp):
     from cugp_tpu.parallel import sharded_sampling
     from cugp_tpu.data import synthetic
@@ -67,6 +69,7 @@ def test_sharded_rejects_bad_chain_count(mesh_dp):
             num_chains=5)
 
 
+@pytest.mark.deep
 def test_large_n_distributed_sampling(mesh_dp):
     """Config-5 shape: NUTS where each LML is GSPMD-sharded (tiny sizes)."""
     from cugp_tpu.parallel import sharded_sampling

@@ -110,6 +110,7 @@ def test_padding_invariance(default_params):
     np.testing.assert_allclose(np.asarray(var_p), np.asarray(var), atol=1e-4)
 
 
+@pytest.mark.deep
 def test_hyperparameter_recovery():
     """MAP fit on data from known theta recovers it (config-2 style, small)."""
     from cugp_tpu.api import GP

@@ -23,7 +23,11 @@ def test_xla_cholesky_matches_scipy(n, rng):
     np.testing.assert_allclose(np.asarray(l), l_ref, rtol=1e-3, atol=1e-4)
 
 
-@pytest.mark.parametrize("n", [1536, 2304])
+# 1536 is the smallest size that exercises the recursion (BASE=1024) —
+# it stays in the quick tier as the core correctness check; 2304 adds a
+# second split shape and goes to deep
+@pytest.mark.parametrize(
+    "n", [1536, pytest.param(2304, marks=pytest.mark.deep)])
 def test_blocked_recursion_matches_scipy(n, rng):
     """Exercises the recursion (n > base=1024) with XLA base case."""
     a = _spd(n, rng, cond=1e4)

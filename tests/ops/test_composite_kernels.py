@@ -188,27 +188,50 @@ def test_fast_paths_reject_composite():
 @pytest.mark.parametrize("kind", ["rbf+linear", "periodic*rbf",
                                   "periodic*rbf+linear"])
 def test_matrix_free_gradients_composite_match_dense(kind):
-    """Composite kinds can now be LEARNED matrix-free: the AD gradient
-    estimator (one rematerialized backward sweep over the blocked matvec)
-    vs AD through the dense pipeline — the round-3 expected-raise flipped
-    to a correctness assert (VERDICT next #4)."""
+    """Composite kinds can now be LEARNED matrix-free (round-3 VERDICT
+    next #4; the old expected-raise flipped to correctness asserts).
+
+    Two-level check: (1) SHARP — the blocked-matvec AD sweep equals the
+    dense-matrix estimator gradient with the SAME alpha/w/z (pure
+    implementation equality, no MC slack); (2) LOOSE — the estimator
+    tracks AD through the dense LML within Hutchinson noise."""
     from cugp_tpu.inference import iterative
 
     X, y = _data(n=256, d=2)
     params = kernel_ops.default_init(kind, d=2)
-    _, g_ref = exact_gp.lml_value_and_grad(params, X, y, kind=kind,
-                                           method="xla")
+    n = X.shape[0]
+    probes = 256
+
+    # reproduce the estimator's solves to build the dense twin
+    mv = iterative.make_matvec(params, X, kind=kind, jitter=1e-6, block=64)
+    alpha, _ = iterative.cg_solve(mv, y, tol=1e-6, max_iters=2000)
+    z = jax.random.rademacher(jax.random.key(5), (n, probes),
+                              dtype=jnp.float32)
+    w, _ = iterative.cg_solve(mv, z, tol=1e-6, max_iters=2000)
+
+    def est_dense(p):
+        K = kernel_ops.train_covariance_xla(p, X, kind=kind, jitter=1e-6)
+        return 0.5 * (alpha @ (K @ alpha)
+                      - jnp.mean(jnp.sum(w * (K @ z), axis=0)))
+
+    g_twin = jax.grad(est_dense)(params)
     _, g = iterative.lml_value_and_grad_iterative(
         params, X, y, key=jax.random.key(5), kind=kind, block=64, tol=1e-6,
-        max_iters=2000, num_probes=64)
-    ref_leaves, treedef_ref = jax.tree_util.tree_flatten(g_ref)
+        max_iters=2000, num_probes=probes)
+    _, g_ref = exact_gp.lml_value_and_grad(params, X, y, kind=kind,
+                                           method="xla")
     est_leaves, treedef_est = jax.tree_util.tree_flatten(g)
-    assert treedef_ref == treedef_est
-    for ref, est in zip(ref_leaves, est_leaves):
-        ref, est = np.asarray(ref), np.asarray(est)
-        # Hutchinson MC error on the trace term: a few percent of scale
-        np.testing.assert_allclose(est, ref, rtol=0.2,
-                                   atol=0.2 * max(1.0, np.abs(ref).max()))
+    twin_leaves, treedef_twin = jax.tree_util.tree_flatten(g_twin)
+    ref_leaves, treedef_ref = jax.tree_util.tree_flatten(g_ref)
+    assert treedef_est == treedef_twin == treedef_ref
+    for est, twin, ref in zip(est_leaves, twin_leaves, ref_leaves):
+        est, twin, ref = map(np.asarray, (est, twin, ref))
+        # (1) blocked AD == dense estimator (same probes): fp-level
+        np.testing.assert_allclose(est, twin, rtol=2e-2,
+                                   atol=2e-2 * max(1.0, np.abs(twin).max()))
+        # (2) estimator vs true LML gradient: MC noise ~1/sqrt(probes)
+        np.testing.assert_allclose(est, ref, rtol=0.25,
+                                   atol=0.25 * max(1.0, np.abs(ref).max()))
 
 
 @pytest.mark.parametrize("kind", ["rbf+linear", "periodic*rbf",

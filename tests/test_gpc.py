@@ -39,6 +39,7 @@ def test_predict_proba_matches_oracle(data):
     np.testing.assert_allclose(np.asarray(var), var_ref, atol=5e-3)
 
 
+@pytest.mark.deep
 def test_fit_improves_lml_and_classifies(data):
     X, y, _ = data
     init = kops.init_params(d=2, lengthscale=2.0, signal_var=1.0,
@@ -61,6 +62,7 @@ def test_lml_gradient_finite(data):
     assert all(bool(jnp.all(jnp.isfinite(x))) for x in jax.tree.leaves(g))
 
 
+@pytest.mark.deep
 def test_api_classifier(data):
     from cugp_tpu.api import GPClassifier
 

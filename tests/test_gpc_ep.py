@@ -33,6 +33,7 @@ def test_ep_lml_matches_oracle(data):
     assert abs(val - ref) < 1e-3 * max(1.0, abs(ref)) + 5e-3
 
 
+@pytest.mark.deep
 def test_ep_lml_close_to_brute_force_truth(data):
     """EP probit classification is known to be extremely accurate (GPML
     sec. 3.7.2); against scrambled-Sobol QMC ground truth the EP log Z
@@ -88,6 +89,7 @@ def test_fixed_point_converged(data):
     assert np.max(np.abs(nu - nu2)) < 1e-6
 
 
+@pytest.mark.deep
 def test_fit_improves_and_classifies(data):
     params, X, y = data
     Xj = jnp.asarray(X, jnp.float32)
@@ -113,6 +115,7 @@ def test_grad_flows(data):
         assert np.isfinite(np.asarray(leaf)).all()
 
 
+@pytest.mark.deep
 def test_api_inference_ep():
     from cugp_tpu import api
 

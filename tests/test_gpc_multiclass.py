@@ -96,6 +96,7 @@ def test_probabilities_match_oracle_mc():
     assert np.max(np.abs(p32 - p64)) < 0.03  # MC noise bound
 
 
+@pytest.mark.deep
 def test_fit_improves_lml_and_classifies():
     params, X, y, Y = _problem(n=60)
     Xj = jnp.asarray(X, jnp.float32)
@@ -122,6 +123,7 @@ def test_grad_flows():
         assert np.isfinite(np.asarray(leaf)).all()
 
 
+@pytest.mark.deep
 def test_api_multiclass_classifier():
     from cugp_tpu import api
 

@@ -124,3 +124,79 @@ def test_multioutput_gp_api():
     assert cov.shape == (10, 2, 2)
     with pytest.raises(ValueError, match=r"\(n, p\)"):
         MultiOutputGP().fit(X, Y[:, 0])
+
+
+# ---- rank-Q LMC with DISTINCT latent kernels (round-3 VERDICT #10) ----
+
+def _toy_q(n=72, m=24, seed=0):
+    """Two outputs mixing a PERIODIC latent and an RBF latent with
+    different weights; the test points EXTRAPOLATE beyond the training
+    range. In-range, a smooth shared kernel can interpolate anything —
+    the structural gap between ICM and rank-Q LMC shows where the
+    periodic latent must carry its pattern forward and the RBF latent
+    must revert to the mean."""
+    rng = np.random.default_rng(seed)
+    X = np.sort(rng.uniform(-3.0, 1.0, size=(n, 1)), axis=0)  # train range
+    Xs = np.linspace(1.3, 3.0, m)[:, None]                    # extrapolate
+    f_per = np.sin(2 * np.pi * X[:, 0])            # period-1 latent
+    f_rbf = np.tanh(X[:, 0])                       # smooth latent
+    fs_per = np.sin(2 * np.pi * Xs[:, 0])
+    fs_rbf = np.tanh(Xs[:, 0])
+    A = np.array([[1.0, -0.8], [0.3, 0.4]])        # (Q, p) mixing
+    Y = np.stack([A[0, a] * f_per + A[1, a] * f_rbf for a in range(2)],
+                 axis=1)
+    Ys = np.stack([A[0, a] * fs_per + A[1, a] * fs_rbf for a in range(2)],
+                  axis=1)
+    Y = Y + 0.05 * rng.standard_normal(Y.shape)
+    return X, Y, Xs, Ys
+
+
+def test_lmcq_matches_dense_kron_oracle():
+    kinds = ("periodic", "rbf")
+    rng = np.random.default_rng(3)
+    X = rng.uniform(-2, 2, size=(48, 1))
+    Y = rng.standard_normal((48, 2))
+    Xs = rng.uniform(-2, 2, size=(12, 1))
+    params = lmc.init_lmcq_params(d=1, p=2, kinds=kinds, noise_var=0.05,
+                                  seed=1)
+    Xj = jnp.asarray(X, jnp.float32)
+    Yj = jnp.asarray(Y, jnp.float32)
+    got = float(lmc.log_marginal_likelihood_lmcq(params, Xj, Yj, kinds))
+    want = lmc_np.log_marginal_likelihood_q(params, X, Y, kinds)
+    assert abs(got - want) / abs(want) < 1e-3
+    mu, var = lmc.posterior_lmcq(params, Xj, Yj,
+                                 jnp.asarray(Xs, jnp.float32), kinds)
+    mu64, var64 = lmc_np.posterior_q(params, X, Y, Xs, kinds)
+    np.testing.assert_allclose(np.asarray(mu), mu64, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(var), var64, atol=1e-3)
+
+
+@pytest.mark.deep
+def test_lmcq_fits_mixed_latents_better_than_icm():
+    """The model-zoo headline: two outputs mixing periodic + RBF latent
+    processes. ICM shares one kernel across outputs, so it must
+    compromise; the rank-Q LMC assigns each latent its own family and
+    should dominate on held-out prediction."""
+    X, Y, Xs, Ys = _toy_q()
+    Xj = jnp.asarray(X, jnp.float32)
+    Yj = jnp.asarray(Y, jnp.float32)
+    kinds = ("periodic", "rbf")
+    p0 = lmc.init_lmcq_params(d=1, p=2, kinds=kinds, lengthscale=0.8,
+                              noise_var=0.05, seed=0)
+    # seed the periodic latent near the truth (period 1): MAP refines it
+    pq, info_q = lmc.fit_lmcq(p0, Xj, Yj, kinds=kinds, steps=250,
+                              learning_rate=0.05)
+    icm0 = lmc.init_lmc_params(d=1, p=2, q=2, lengthscale=0.8,
+                               noise_var=0.05)
+    picm, info_icm = lmc.fit(icm0, Xj, Yj, kind="rbf", steps=250,
+                             learning_rate=0.05)
+    mu_q, _ = lmc.posterior_lmcq(pq, Xj, Yj, jnp.asarray(Xs, jnp.float32),
+                                 kinds)
+    mu_icm, _ = lmc.posterior_lmc(picm, Xj, Yj,
+                                  jnp.asarray(Xs, jnp.float32), kind="rbf")
+    rmse_q = float(np.sqrt(np.mean((np.asarray(mu_q) - Ys) ** 2)))
+    rmse_icm = float(np.sqrt(np.mean((np.asarray(mu_icm) - Ys) ** 2)))
+    assert np.isfinite(info_q["lml"]) and np.isfinite(info_icm["lml"])
+    # the periodic latent carries its pattern into the extrapolation
+    # region; the shared smooth kernel reverts to the mean
+    assert rmse_q < 0.7 * rmse_icm, (rmse_q, rmse_icm)

@@ -23,6 +23,7 @@ def test_gpclassifier_roundtrip_binary(tmp_path):
     assert set(np.asarray(clf2.predict(X[:10]))) <= {"neg", "pos"}
 
 
+@pytest.mark.deep
 def test_gpclassifier_roundtrip_multiclass(tmp_path):
     X, y = synthetic.gaussian_blobs(n=60, num_classes=3, seed=2)
     clf = api.GPClassifier()
@@ -36,6 +37,7 @@ def test_gpclassifier_roundtrip_multiclass(tmp_path):
                                   np.asarray(clf.predict(X[:8])))
 
 
+@pytest.mark.deep
 def test_svgp_roundtrip_bernoulli(tmp_path):
     X, y = synthetic.two_moons(n=120, seed=1)
     model = api.SVGP(likelihood="bernoulli")
@@ -50,6 +52,7 @@ def test_svgp_roundtrip_bernoulli(tmp_path):
                                   np.asarray(model.predict(X[:12])))
 
 
+@pytest.mark.deep
 def test_svgp_roundtrip_gaussian(tmp_path):
     X, y, _ = synthetic.sinusoid_1d(n=150, seed=4)
     model = api.SVGP()

@@ -18,6 +18,7 @@ def shifted():
     return X, 250.0 + 40.0 * y  # far from zero-mean/unit-scale
 
 
+@pytest.mark.deep
 def test_fit_predict_in_original_units(shifted):
     X, y = shifted
     gp = api.GP(normalize_y=True)
@@ -51,6 +52,7 @@ def test_lml_change_of_variables_exact(shifted):
     assert abs(lml_api - lml_manual) < 1e-2 * max(1.0, abs(lml_manual))
 
 
+@pytest.mark.deep
 def test_full_cov_and_samples_scale(shifted):
     X, y = shifted
     gp = api.GP(normalize_y=True)

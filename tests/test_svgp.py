@@ -93,6 +93,7 @@ def test_posterior_matches_sgpr_at_optimum(reg_data, params):
     np.testing.assert_allclose(var, var_ref, atol=2e-3)
 
 
+@pytest.mark.deep
 def test_fit_gaussian_recovers_signal(reg_data):
     """m=64 inducing on n=256: after a short SGD fit the predictive mean
     recovers the underlying sinusoid on the data interior."""
@@ -113,6 +114,7 @@ def test_fit_gaussian_recovers_signal(reg_data):
     assert jnp.sqrt(jnp.mean((mu - f_true) ** 2)) < 0.15
 
 
+@pytest.mark.deep
 def test_fit_bernoulli_two_moons():
     X, y = synthetic.two_moons(n=300, noise_std=0.1, seed=0)
     init = kernel_ops.init_params(d=2, lengthscale=0.7, signal_var=3.0,
@@ -169,6 +171,7 @@ def test_student_t_gh_matches_mc():
     np.testing.assert_allclose(gh, mc, atol=2e-2)
 
 
+@pytest.mark.deep
 def test_fit_poisson_counts():
     X, y, rate = synthetic.poisson_counts(n=400, seed=0)
     init = kernel_ops.init_params(d=1, lengthscale=1.0, signal_var=1.0,
@@ -182,6 +185,7 @@ def test_fit_poisson_counts():
     assert jnp.mean(err) < 0.3, float(jnp.mean(err))
 
 
+@pytest.mark.deep
 def test_fit_student_t_is_robust_to_outliers():
     """With 10% gross outliers, the student_t fit should track the true
     function much better than its own error on the outlier points."""
@@ -206,6 +210,7 @@ def test_likelihood_validation(reg_data):
         svgp.fit(init, X, y, likelihood="beta", steps=1)
 
 
+@pytest.mark.deep
 def test_api_svgp_regression(reg_data):
     from cugp_tpu.api import SVGP
 
@@ -219,6 +224,7 @@ def test_api_svgp_regression(reg_data):
     assert np.isfinite(float(model.elbo(X, y)))
 
 
+@pytest.mark.deep
 def test_api_svgp_classifier_labels():
     from cugp_tpu.api import SVGP
 
@@ -258,6 +264,7 @@ def test_optimal_variational_chunked_matches_dense(params):
     assert np.isfinite(np.asarray(dense["m"])).all()
 
 
+@pytest.mark.deep
 def test_student_t_learnable_nu():
     """fit(likelihood='student_t') learns log_nu: on heavy-outlier data it
     should stay well below gaussian-like values, and the ELBO must respond
@@ -303,6 +310,7 @@ def test_student_t_include_noise_scales_variance(reg_data, params):
                        likelihood="poisson")
 
 
+@pytest.mark.deep
 def test_cli_svgp(capsys):
     from cugp_tpu.cli.__main__ import main
 
@@ -315,6 +323,7 @@ def test_cli_svgp(capsys):
     assert "elbo_batch_final" in out and np.isfinite(out["elbo_batch_final"])
 
 
+@pytest.mark.deep
 def test_fit_knobs_shuffle_kmm_jitter_grad_clip(reg_data, params):
     """Round-2 VERDICT weak #6: the robustness knobs are configurable.
     Shuffled-epoch minibatching + custom K_mm jitter floor + custom clip
