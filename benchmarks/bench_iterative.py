@@ -97,17 +97,40 @@ def main(argv=None):
             p, X, rank, kind="rbf"))
     out["precond_where"] = precond_where
 
-    @jax.jit
-    def solve(params, Xj, yj, Lk, Lg, s2):
-        mv = iterative.make_matvec(params, Xj, kind="rbf", block=mv_block)
-        pre = iterative.precond_apply_from_factors(Lk, Lg, s2)
-        alpha, iters = iterative.cg_solve(mv, yj, tol=tol,
-                                          max_iters=max_iters,
-                                          precond_apply=pre)
-        # explicit convergence certificate: recompute the residual with
-        # one extra matvec (not the recursively-updated in-loop r)
-        res = jnp.linalg.norm(mv(alpha) - yj) / jnp.linalg.norm(yj)
-        return alpha, iters, res
+    # --segment_iters=K > 0: the SEGMENTED schedule — K CG iterations per
+    # XLA program, CGState carried through the host between programs
+    # (iterative.cg_solve_segmented). Bounds per-program work regardless
+    # of n, the pattern that turns the tunneled worker's per-program
+    # ceiling (262k crash, PERF.md round 3) into a scheduling detail.
+    segment_iters = int(args.get("--segment_iters", 0))
+    out["segment_iters"] = segment_iters
+
+    resid_fn = jax.jit(lambda params, Xj, yj, alpha: jnp.linalg.norm(
+        iterative.make_matvec(params, Xj, kind="rbf", block=mv_block)(alpha)
+        - yj) / jnp.linalg.norm(yj))
+
+    if segment_iters:
+        def solve(params, Xj, yj, Lk, Lg, s2):
+            alpha, iters, _rel = iterative.cg_solve_segmented(
+                params, Xj, yj, kind="rbf", block=mv_block, tol=tol,
+                iters_per_program=segment_iters, max_iters=max_iters,
+                precond=(Lk, Lg, s2), verbose=True)
+            # certificate program kept separate (one extra matvec)
+            res = resid_fn(params, Xj, yj, alpha)
+            return alpha, jnp.asarray(iters), res
+    else:
+        @jax.jit
+        def solve(params, Xj, yj, Lk, Lg, s2):
+            mv = iterative.make_matvec(params, Xj, kind="rbf",
+                                       block=mv_block)
+            pre = iterative.precond_apply_from_factors(Lk, Lg, s2)
+            alpha, iters = iterative.cg_solve(mv, yj, tol=tol,
+                                              max_iters=max_iters,
+                                              precond_apply=pre)
+            # explicit convergence certificate: recompute the residual
+            # with one extra matvec (not the recursively-updated in-loop r)
+            res = jnp.linalg.norm(mv(alpha) - yj) / jnp.linalg.norm(yj)
+            return alpha, iters, res
 
     print(f"# precond factors (n={n}, rank={rank}) ...", file=sys.stderr,
           flush=True)

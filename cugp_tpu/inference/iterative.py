@@ -733,12 +733,13 @@ def lml_value_and_grad_iterative(params, X, y, key=None, kind="rbf",
     mv = make_matvec(params, X, kind=kind, jitter=jitter, block=block)
     pre = (precond_apply_from_factors(*precond) if precond is not None
            else None)
-    alpha, _ = cg_solve(mv, y, tol=tol, max_iters=max_iters,
-                        precond_apply=pre)
-
     z = jax.random.rademacher(key, (n, num_probes), dtype=jnp.float32)
-    w, _ = cg_solve(mv, z, tol=tol, max_iters=max_iters,
-                    precond_apply=pre)  # K^{-1} z
+    # one batched CG for [y | z]: each iteration's covariance tiles are
+    # built once and contracted against rhs+probes together (BBMM
+    # batching) — 1+p solves at ~the cost of p
+    sol, _ = cg_solve(mv, jnp.concatenate([y[:, None], z], axis=1),
+                      tol=tol, max_iters=max_iters, precond_apply=pre)
+    alpha, w = sol[:, 0], sol[:, 1:]  # K^{-1} y, K^{-1} z
 
     if grad_method == "ad":
         alpha_c = jax.lax.stop_gradient(alpha)

@@ -354,10 +354,11 @@ def make_iterative_logprob(init_params, X, y, *, kind="rbf", jitter=1e-6,
                                    block=block)
         pre = (iterative.precond_apply_from_factors(*precond)
                if precond is not None else None)
-        alpha, _ = iterative.cg_solve(mv, y, tol=tol, max_iters=max_iters,
-                                      precond_apply=pre)
-        w, _ = iterative.cg_solve(mv, z, tol=tol, max_iters=max_iters,
-                                  precond_apply=pre)
+        # one batched CG for [y | z] (BBMM batching: 1+p solves ~ cost p)
+        sol, _ = iterative.cg_solve(
+            mv, jnp.concatenate([y[:, None], z], axis=1), tol=tol,
+            max_iters=max_iters, precond_apply=pre)
+        alpha, w = sol[:, 0], sol[:, 1:]
         logdet = iterative.slq_logdet(mv, n, probe_key,
                                       num_probes=num_probes,
                                       num_steps=num_steps)
