@@ -251,8 +251,8 @@ def main(argv=None):
                    slq_probes=probes, lanczos_steps=lanczos)
 
     # ---- accuracy: dense Cholesky cross-check on a subsample ----------
-    print("# dense cross-check ...", file=sys.stderr, flush=True)
     if dense_n and dense_n <= n:
+        print("# dense cross-check ...", file=sys.stderr, flush=True)
         from cugp_tpu.models import exact_gp
         Xs = Xj[:dense_n]
         ys = yj[:dense_n]

@@ -120,6 +120,14 @@ def _cholesky_impl(a, method, precision):
     # PERF.md for the full table.
     if precision == "mixed":
         return _chol_recursive(a, method, _HI, offdiag_precision=_HIGH)
+    if precision == "mixed_fast":
+        # diagonal path at 3-pass bf16 (the production default that the
+        # 2e-4 residual gate already accepts), strictly-off-diagonal
+        # trailing updates at 1-pass bf16 (the MXU's full rate) — the
+        # aggressive end of the round-4 precision frontier; gate on the
+        # reconstruction residual before trusting it
+        return _chol_recursive(a, method, _HIGH,
+                               offdiag_precision=jax.lax.Precision.DEFAULT)
     return _chol_recursive(a, method, precision)
 
 
