@@ -81,6 +81,7 @@ def test_cli_sample_checkpoint_resume(tmp_path, capsys):
     assert '"draws_done": 16' in out2
 
 
+@pytest.mark.deep
 def test_checkpointed_chain_block_resume_equality(data, tmp_path):
     """chain_block pass-through (config.SampleConfig.chain_block -> CLI ->
     sampling): the blocked single-program layout checkpoints and resumes

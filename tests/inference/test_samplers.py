@@ -74,6 +74,7 @@ def test_nuts_correlated_gaussian():
     np.testing.assert_allclose(qs.std(axis=0), 1.0, atol=0.2)
 
 
+@pytest.mark.deep
 def test_rhat_and_ess_diagnostics():
     x = np.random.default_rng(0).standard_normal((400, 4))
     rhat = float(sampling.potential_scale_reduction(jnp.asarray(x)))

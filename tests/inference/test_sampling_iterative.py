@@ -89,6 +89,7 @@ def test_iterative_sampler_precond_smoke(data):
     assert 0.2 < float(out["accept_rate"]) <= 1.0
 
 
+@pytest.mark.deep
 def test_cli_sample_engine_iterative(capsys):
     from cugp_tpu.cli.__main__ import main
 

@@ -89,6 +89,7 @@ def test_gives_up_after_max_restarts(tmp_path):
     assert any('"giving_up"' in l for l in logs)
 
 
+@pytest.mark.deep
 def test_cli_fit_killed_and_resumed(tmp_path):
     """Real pipeline: supervisor restarts a SIGKILLed CLI fit, which
     resumes from its --checkpoint_dir and completes."""
