@@ -63,6 +63,7 @@ def test_checkpoint_persists_chain_state(data, tmp_path):
     assert meta["extra"]["sampler"] == "hmc"
 
 
+@pytest.mark.deep
 def test_cli_sample_checkpoint_resume(tmp_path, capsys):
     from cugp_tpu.cli.__main__ import main
 
@@ -103,6 +104,7 @@ def test_checkpointed_chain_block_resume_equality(data, tmp_path):
                                rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.deep
 def test_old_7_leaf_checkpoint_migrates(data, tmp_path):
     """Checkpoints written before logp/grad entered the format (7 leaves)
     must still resume: peek_meta detects the old shape and logp/grad are

@@ -23,11 +23,8 @@ def test_xla_cholesky_matches_scipy(n, rng):
     np.testing.assert_allclose(np.asarray(l), l_ref, rtol=1e-3, atol=1e-4)
 
 
-# 1536 is the smallest size that exercises the recursion (BASE=1024) —
-# it stays in the quick tier as the core correctness check; 2304 adds a
-# second split shape and goes to deep
-@pytest.mark.parametrize(
-    "n", [1536, pytest.param(2304, marks=pytest.mark.deep)])
+@pytest.mark.deep
+@pytest.mark.parametrize("n", [1536, 2304])
 def test_blocked_recursion_matches_scipy(n, rng):
     """Exercises the recursion (n > base=1024) with XLA base case."""
     a = _spd(n, rng, cond=1e4)
@@ -94,3 +91,22 @@ def test_batched_cholesky_gradient(rng):
         jnp.linalg.cholesky(a), axis1=-2, axis2=-1))))(a)
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), rtol=1e-3,
                                atol=1e-5)
+
+
+def test_blocked_recursion_small_base_matches_scipy(rng, monkeypatch):
+    """Quick-tier recursion coverage: shrink the base-case size so the
+    full recursive split/TRSM/SYRK structure (two levels) is exercised
+    at n=640 in ~a second; the production-BASE variants (1536/2304) are
+    the deep-tier versions of this same check."""
+    from cugp_tpu.ops import cholesky as chol_ops
+
+    monkeypatch.setattr(chol_ops, "_BASE", 256)
+    monkeypatch.setattr(chol_ops, "_SYRK_FULL", 256)
+    n = 640
+    a = rng.standard_normal((n, n))
+    a = (a @ a.T + n * np.eye(n)).astype(np.float32)
+    l = chol_ops.cholesky(jnp.asarray(a), method="blocked")
+    import scipy.linalg as sla
+
+    l_ref = sla.cholesky(np.asarray(a, np.float64), lower=True)
+    np.testing.assert_allclose(np.asarray(l), l_ref, rtol=2e-4, atol=2e-3)
