@@ -94,3 +94,17 @@ def test_ring_matvec_collectives(mesh2d):
     body_ar = [l for l in txt.splitlines()
                if "all-reduce" in l and "= " in l and "/gather" not in l]
     assert body_ar == []
+
+
+def test_sharded_lml_matches_single_device(mesh2d):
+    X, y = _data()
+    p = kops.init_params(d=3, lengthscale=1.1, noise_var=0.05)
+    ref = float(iterative.lml_iterative(
+        p, X, y, key=jax.random.key(4), kind="rbf", block=128,
+        num_probes=32, num_steps=40))
+    got = float(sp_iterative.lml_iterative_sharded(
+        p, X, y, mesh2d, key=jax.random.key(4), kind="rbf", axis="r",
+        num_probes=32, num_steps=40))
+    # both are SLQ estimators (different probe partitions of the same
+    # rademacher draw reduce identically; CG solves agree to tolerance)
+    assert abs(got - ref) / X.shape[0] < 0.02
