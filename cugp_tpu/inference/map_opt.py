@@ -206,6 +206,10 @@ def fit_iterative(init_params, X, y, *, kind="rbf", jitter=1e-6, steps=50,
     n = X.shape[0]
     if split_programs == "auto":
         split_programs = n >= 32768
+    if grad_method == "analytic" and split_programs:
+        # the split gradient program is the AD sweep; the hand-rule path
+        # only exists fused (its per-parameter dK matvecs don't split)
+        split_programs = False
     if precond_where == "auto":
         precond_where = "host" if jax.default_backend() == "tpu" else "device"
 
