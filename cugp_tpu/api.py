@@ -98,22 +98,30 @@ class GP:
         return lml - self.y.shape[0] * math.log(self.y_std)
 
     def fit(self, X, y, *, steps=200, optimizer="adam", learning_rate=0.05,
-            init=None, key=None, log_prior=None, objective="lml"):
+            init=None, key=None, log_prior=None, objective="lml",
+            restarts=1):
         """MAP hyperparameter fit by maximizing the LML — or, with
         log_prior (callable params dict -> scalar), the log posterior
         (inference/map_opt; map_opt.weak_log_prior matches the samplers'
         default prior). objective="loo" maximizes the leave-one-out
-        pseudo-likelihood instead (GPML section 5.4.2; see loo())."""
+        pseudo-likelihood instead (GPML section 5.4.2; see loo()).
+        restarts > 1: multi-start optimization as one vmapped program
+        (map_opt.fit_restarts) — the LML surface is multimodal in
+        lengthscale/period space; the best final objective wins."""
         from cugp_tpu.inference import map_opt
 
         X, y = self._data(X, y)
         if init is None:
             init = kernel_ops.default_init(self.kind, d=X.shape[1])
-        params, info = map_opt.fit(
-            init, X, y, kind=self.kind, jitter=self.jitter, method=self.method,
-            steps=steps, optimizer=optimizer, learning_rate=learning_rate,
-            basis=self.basis, log_prior=log_prior, objective=objective,
-        )
+        kw = dict(kind=self.kind, jitter=self.jitter, method=self.method,
+                  steps=steps, optimizer=optimizer,
+                  learning_rate=learning_rate, basis=self.basis,
+                  log_prior=log_prior, objective=objective)
+        if restarts > 1:
+            params, info = map_opt.fit_restarts(
+                init, X, y, restarts=restarts, key=key, **kw)
+        else:
+            params, info = map_opt.fit(init, X, y, **kw)
         self.params, self.X, self.y = params, X, y
         return info
 

@@ -277,3 +277,50 @@ def fit_iterative(init_params, X, y, *, kind="rbf", jitter=1e-6, steps=50,
     info = {"loss": jnp.asarray(np.asarray(losses, np.float32)),
             "lml": -losses[-1] if losses else float("nan")}
     return params, info
+
+
+def fit_restarts(init_params, X, y, *, restarts=4, key=None, scale=0.5,
+                 kind="rbf", jitter=1e-6, method="auto", steps=200,
+                 optimizer="adam", learning_rate=0.05, basis=None,
+                 log_prior=None, objective="lml"):
+    """Multi-start MAP: `restarts` perturbed inits optimized as ONE
+    vmapped lax.scan program (the DP analog for optimizer restarts,
+    SURVEY.md section 2.1's EP row) — the LML surface is multimodal in
+    lengthscale/period space and single-start Adam gets trapped.
+
+    Start 0 is init_params exactly; the rest perturb every log leaf with
+    N(0, scale^2) noise. Returns (best_params, info) where info adds
+    "restart_lmls" (the per-start final objectives) and "best_restart".
+    """
+    if key is None:
+        key = jax.random.key(0)
+    keys = jax.random.split(key, restarts)
+
+    def perturb(k, p):
+        leaves, treedef = jax.tree_util.tree_flatten(p)
+        ks = jax.random.split(k, len(leaves))
+        out = [leaf + scale * jax.random.normal(kk, jnp.shape(leaf))
+               for kk, leaf in zip(ks, leaves)]
+        return jax.tree_util.tree_unflatten(treedef, out)
+
+    inits = [init_params] + [perturb(keys[i], init_params)
+                             for i in range(1, restarts)]
+    stacked = jax.tree.map(lambda *ls: jnp.stack(ls), *inits)
+
+    fit_one = partial(_fit_scan, X=X, y=y, kind=kind, jitter=jitter,
+                      method=method, steps=steps, optimizer=optimizer,
+                      learning_rate=learning_rate, basis=basis,
+                      log_prior=log_prior, objective=objective)
+    params_all, losses_all = jax.vmap(lambda p: fit_one(p))(stacked)
+    finals = losses_all[:, -1]
+    # non-finite runs (diverged restarts) must never win
+    finals = jnp.where(jnp.isfinite(finals), finals, jnp.inf)
+    best = jnp.argmin(finals)
+    params = jax.tree.map(lambda a: a[best], params_all)
+    info = {
+        "loss": losses_all[best],
+        "lml": -finals[best],
+        "restart_lmls": -finals,
+        "best_restart": best,
+    }
+    return params, info
