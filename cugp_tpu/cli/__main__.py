@@ -75,7 +75,8 @@ def cmd_fit(cfg):
     elif cfg.fit.engine == "dense":
         info = gp.fit(X, y, steps=cfg.fit.steps, optimizer=cfg.fit.optimizer,
                       learning_rate=cfg.fit.learning_rate, init=init,
-                      objective=cfg.fit.objective)
+                      objective=cfg.fit.objective,
+                      restarts=cfg.fit.restarts)
     else:
         raise ValueError(
             f"unknown fit.engine {cfg.fit.engine!r}: dense | iterative")

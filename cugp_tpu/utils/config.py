@@ -42,6 +42,7 @@ class FitConfig:
     optimizer: str = "adam"      # adam | lbfgs
     learning_rate: float = 0.05
     objective: str = "lml"       # lml | loo (GPML 5.4.2 pseudo-likelihood)
+    restarts: int = 1            # >1: vmapped multi-start sweep, best wins
     engine: str = "dense"        # dense | iterative (matrix-free BBMM
                                  # training loop for n beyond the dense
                                  # Cholesky ceiling; map_opt.fit_iterative)
