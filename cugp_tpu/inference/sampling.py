@@ -25,6 +25,10 @@ from cugp_tpu.models import exact_gp
 _LOGPROB_CACHE = {}
 _LOGPROB_CACHE_MAX = 8
 
+# shared default probe key for make_iterative_logprob (stable object
+# identity keeps the closure cache effective for default-key callers)
+_DEFAULT_PROBE_KEY = jax.random.key(7)
+
 
 def make_flat_logprob(init_params, X, y, kind="rbf", jitter=1e-6,
                       method="auto", log_prior=hmc_lib.default_log_prior,
@@ -337,12 +341,32 @@ def make_iterative_logprob(init_params, X, y, *, kind="rbf", jitter=1e-6,
     hyperparameter point. The preconditioner only shapes CG's
     convergence, never its fixed point, so staleness over the trajectory
     costs iterations, not correctness.
+
+    The returned closure is CACHED per (data identity, config): the
+    samplers take logprob_and_grad as a static jit argument, so a fresh
+    closure per call would recompile the whole sampler program (the
+    same contract make_flat_logprob keeps for the dense path).
     """
     from cugp_tpu.inference import iterative
 
     q0, unravel = ravel_pytree(init_params)
     if probe_key is None:
-        probe_key = jax.random.key(7)
+        # module-level default: a fresh key object per call would defeat
+        # the identity-keyed closure cache below
+        probe_key = _DEFAULT_PROBE_KEY
+
+    cache_key = (id(X), id(y), kind, jitter, block, tol, max_iters,
+                 num_probes, num_steps, id(probe_key),
+                 id(precond) if precond is not None else None,
+                 id(log_prior), jax.tree.structure(init_params))
+    hit = _LOGPROB_CACHE.get(cache_key)
+    if hit is not None:
+        lp, unrav_cached, refs = hit
+        if (refs[0] is X and refs[1] is y and refs[2] is log_prior
+                and refs[3] is precond and refs[4] is probe_key):
+            return lp, unrav_cached, q0
+        del _LOGPROB_CACHE[cache_key]
+
     n = X.shape[0]
     z = jax.random.rademacher(probe_key, (n, num_probes),
                               dtype=jnp.float32)
@@ -379,6 +403,10 @@ def make_iterative_logprob(init_params, X, y, *, kind="rbf", jitter=1e-6,
         pv, pg = jax.value_and_grad(log_prior)(q)
         return value + pv, g_lml + pg
 
+    if len(_LOGPROB_CACHE) >= _LOGPROB_CACHE_MAX:
+        _LOGPROB_CACHE.pop(next(iter(_LOGPROB_CACHE)))
+    _LOGPROB_CACHE[cache_key] = (logprob_and_grad, unravel,
+                                 (X, y, log_prior, precond, probe_key))
     return logprob_and_grad, unravel, q0
 
 
