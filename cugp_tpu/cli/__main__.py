@@ -2,8 +2,12 @@
 
 Usage:
   python -m cugp_tpu.cli fit     [--data.n=8000 --model.kind=rbf ...]
+      [--fit.engine=iterative]   matrix-free training (n beyond the
+                                 dense ceiling; K never formed)
+      [--fit.restarts=4]         vmapped multi-start sweep, best wins
   python -m cugp_tpu.cli predict [--data.n=1000 ...]
   python -m cugp_tpu.cli sample  [--sample.num_chains=256 ...]
+      [--sample.engine=iterative] matrix-free LML per transition
   python -m cugp_tpu.cli classify [--data.n=400 ...]   (Laplace GPC)
   python -m cugp_tpu.cli vi      [...]
   python -m cugp_tpu.cli sgpr    [--data.n=20000 ...]
