@@ -68,14 +68,23 @@ def cmd_fit(cfg):
     t0 = time.perf_counter()
     if cfg.fit.engine == "iterative":
         # matrix-free training loop (map_opt.fit_iterative): the path for
-        # n beyond the dense Cholesky ceiling (round-3 VERDICT next #1)
+        # n beyond the dense Cholesky ceiling (round-3 VERDICT next #1).
+        # Mid-run optimizer state checkpoints at the SIBLING dir
+        # <dir>_fit_state (utils.checkpoint.save atomically replaces a
+        # whole directory, so nesting under <dir> would be wiped by the
+        # end-of-run facade snapshot), letting a killed multi-hour
+        # large-n fit resume mid-trajectory — incl. under
+        # utils.supervise.
+        fit_ckpt = (cfg.checkpoint_dir.rstrip("/") + "_fit_state"
+                    if cfg.checkpoint_dir else None)
         info = gp.fit_iterative(
             X, y, steps=cfg.fit.steps,
             learning_rate=cfg.fit.learning_rate, init=init,
             precond_rank=cfg.fit.precond_rank,
             precond_refresh=cfg.fit.precond_refresh,
             num_probes=cfg.fit.num_probes, tol=cfg.fit.cg_tol,
-            max_iters=cfg.fit.cg_max_iters, block=cfg.fit.block)
+            max_iters=cfg.fit.cg_max_iters, block=cfg.fit.block,
+            checkpoint_dir=fit_ckpt)
     elif cfg.fit.engine == "dense":
         info = gp.fit(X, y, steps=cfg.fit.steps, optimizer=cfg.fit.optimizer,
                       learning_rate=cfg.fit.learning_rate, init=init,

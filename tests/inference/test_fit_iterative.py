@@ -127,3 +127,55 @@ def test_cli_fit_engine_iterative(capsys):
     out = json.loads(capsys.readouterr().out)
     assert np.isfinite(out["lml"])
     assert "log_lengthscale" in out["params"]
+
+
+def test_fit_iterative_checkpoint_resume(data, tmp_path):
+    """Killed-and-resumed matrix-free fit continues mid-trajectory: a run
+    stopped at step 6/12 and resumed lands (near) the uninterrupted run —
+    identical probe keys per step; only the preconditioner rebuild cadence
+    can differ, which moves CG iterates within solver tolerance."""
+    import os
+
+    X, y = data
+    init = kops.init_params(d=1, lengthscale=1.5, noise_var=0.3)
+    kw = dict(steps=12, learning_rate=0.1, block=128, tol=1e-7,
+              max_iters=1000, num_probes=16, precond_rank=0,
+              key=jax.random.key(5), checkpoint_every=3)
+    full_dir = os.path.join(tmp_path, "full")
+    p_full, info_full = map_opt.fit_iterative(
+        init, X, y, checkpoint_dir=full_dir, **kw)
+
+    part_dir = os.path.join(tmp_path, "part")
+    kw6 = dict(kw, steps=6)
+    map_opt.fit_iterative(init, X, y, checkpoint_dir=part_dir, **kw6)
+    p_res, info_res = map_opt.fit_iterative(
+        init, X, y, checkpoint_dir=part_dir, **kw)
+    assert info_res["loss"].shape == (12,)
+    for k in p_full:
+        np.testing.assert_allclose(np.asarray(p_res[k]),
+                                   np.asarray(p_full[k]), rtol=1e-4,
+                                   atol=1e-4, err_msg=k)
+    np.testing.assert_allclose(np.asarray(info_res["loss"]),
+                               np.asarray(info_full["loss"]), rtol=1e-3,
+                               atol=1e-3)
+
+
+def test_cli_fit_iterative_checkpoint_resume(tmp_path, capsys):
+    import os
+
+    from cugp_tpu.cli.__main__ import main
+
+    ckpt = os.path.join(tmp_path, "it_ck")
+    args = ["fit", "--data.n=256", "--fit.engine=iterative",
+            "--fit.steps=6", "--fit.learning_rate=0.1",
+            "--fit.precond_rank=0", "--fit.num_probes=8",
+            "--fit.block=128", f"--checkpoint_dir={ckpt}"]
+    assert main(args) == 0
+    capsys.readouterr()
+    assert os.path.exists(os.path.join(ckpt + "_fit_state", "meta.json"))
+    # re-run: facade params load as init AND the optimizer state resumes
+    assert main(args) == 0
+    import json
+
+    out = json.loads(capsys.readouterr().out)
+    assert out["resumed"] is True
