@@ -364,40 +364,78 @@ class GP:
         self._precond_cache = (params, self.X, precond_rank, fac)
         return fac
 
+    def _segment_auto(self, segment_iters):
+        """Resolve segment_iters="auto": the segmented (bounded-per-
+        program) schedule switches on above the proven single-program
+        envelope (~131k on the tunneled chip, PERF.md round 4) so a user
+        calling the iterative entry points at n=262k gets the schedule
+        that completes instead of the one that crashes the worker
+        (round-4 VERDICT next #1)."""
+        if segment_iters == "auto":
+            n = self.X.shape[0]
+            return (16 if jax.default_backend() == "tpu" and n > 131072
+                    else 0)
+        return int(segment_iters)
+
     def log_marginal_likelihood_iterative(self, params=None, *, block=4096,
                                           num_probes=16, num_steps=32,
-                                          key=None, precond_rank="auto"):
+                                          key=None, precond_rank="auto",
+                                          segment_iters="auto"):
         """Matrix-free LML (CG + stochastic Lanczos) for N beyond the dense
         Cholesky memory ceiling (inference/iterative.py). CG runs under
         the pivoted-Cholesky preconditioner by default at n >= 8192
-        (precond_rank="auto"; pass 0 to disable, or an int rank)."""
+        (precond_rank="auto"; pass 0 to disable, or an int rank).
+        segment_iters: >0 bounds every device program to ~that many
+        matvecs (iterative.lml_iterative_segmented) — the unbounded-n
+        schedule; "auto" switches it on at n > 131072 on TPU."""
         import jax
         from cugp_tpu.inference import iterative
 
         p = params if params is not None else self.params
         pre = self._iterative_precond(precond_rank, p)
+        seg = self._segment_auto(segment_iters)
+        if seg:
+            return self._out_lml(iterative.lml_iterative_segmented(
+                p, self.X, self.y, key=key or jax.random.key(0),
+                kind=self.kind, jitter=self.jitter, block=block,
+                iters_per_program=seg, num_probes=num_probes,
+                num_steps=num_steps, precond=pre))
         return self._out_lml(iterative.lml_iterative(
             p, self.X, self.y, key=key or jax.random.key(0), kind=self.kind,
             jitter=self.jitter, block=block, num_probes=num_probes,
             num_steps=num_steps, precond=pre))
 
     def predict_iterative(self, Xs, *, block=4096, tol=1e-6,
-                          include_noise=False, precond_rank="auto"):
+                          include_noise=False, precond_rank="auto",
+                          segment_iters="auto", col_batch=256):
         """Matrix-free posterior via batched CG solves (no N x N storage).
 
         precond_rank="auto": at n >= 8192 the solves run under a rank-128
         pivoted-Cholesky preconditioner built (and cached) as its own
         program — the production 100k path at ~100 CG iterations instead
-        of ~650 unpreconditioned (PERF.md; round-3 VERDICT next #5)."""
+        of ~650 unpreconditioned (PERF.md; round-3 VERDICT next #5).
+        segment_iters: >0 routes through the segmented schedule
+        (iterative.posterior_iterative_segmented): bounded per-program CG
+        work AND test points streamed in `col_batch`-column chunks, so
+        both compute and HBM stay bounded at any n; "auto" switches it
+        on at n > 131072 on TPU (the single-program envelope)."""
         import jax.numpy as jnp
         from cugp_tpu.inference import iterative
 
         Xs = jnp.asarray(Xs, jnp.float32)
         pre = self._iterative_precond(precond_rank, self.params)
-        mu, var = iterative.posterior_iterative(
-            self.params, self.X, self.y, Xs, kind=self.kind,
-            jitter=self.jitter, block=block, tol=tol,
-            include_noise=include_noise, precond=pre)
+        seg = self._segment_auto(segment_iters)
+        if seg:
+            mu, var = iterative.posterior_iterative_segmented(
+                self.params, self.X, self.y, Xs, kind=self.kind,
+                jitter=self.jitter, block=block, tol=max(tol, 1e-5),
+                iters_per_program=seg, include_noise=include_noise,
+                precond=pre, col_batch=col_batch)
+        else:
+            mu, var = iterative.posterior_iterative(
+                self.params, self.X, self.y, Xs, kind=self.kind,
+                jitter=self.jitter, block=block, tol=tol,
+                include_noise=include_noise, precond=pre)
         return self._out_mean(mu), self._out_var(var)
 
     def save(self, path):

@@ -326,12 +326,25 @@ def _cg_body(matvec, apply_m):
     return body
 
 
-def cg_init(b, precond_apply=None, precond_diag=None):
-    """Initial CGState for solving K x = b from x0 = 0 (b is (n, r))."""
+def cg_init(b, precond_apply=None, precond_diag=None, x0=None, matvec=None):
+    """Initial CGState for solving K x = b (b is (n, r)).
+
+    x0: optional warm start (same shape as b) — pays ONE matvec to form
+    the true residual r0 = b - K x0 and starts CG there. The standard
+    trick for slowly-moving systems (fit_iterative's per-step solves at
+    nearly-unchanged hyperparameters: round-4 VERDICT next #5); requires
+    `matvec`. x0=None starts from zero (r0 = b, no matvec).
+    """
     apply_m = _cg_apply_m(precond_apply, precond_diag)
-    z0 = apply_m(b)
-    return CGState(x=jnp.zeros_like(b), r=b, p=z0,
-                   rs=jnp.sum(b * z0, axis=0),
+    if x0 is None:
+        x, r = jnp.zeros_like(b), b
+    else:
+        if matvec is None:
+            raise ValueError("cg_init(x0=...) needs the matvec for r0")
+        x, r = x0, b - matvec(x0)
+    z0 = apply_m(r)
+    return CGState(x=x, r=r, p=z0,
+                   rs=jnp.sum(r * z0, axis=0),
                    it=jnp.asarray(0, jnp.int32))
 
 
@@ -393,7 +406,8 @@ def cg_solve(matvec, b, tol=1e-6, max_iters=1000, precond_diag=None,
 
 def cg_solve_segmented(params, X, b, *, kind="rbf", jitter=1e-6,
                        block=4096, tol=1e-4, iters_per_program=64,
-                       max_iters=1024, precond=None, verbose=False):
+                       max_iters=1024, precond=None, x0=None,
+                       verbose=False):
     """Host-segmented CG solve of (K + noise I) x = b.
 
     Each XLA program runs `iters_per_program` CG iterations
@@ -403,6 +417,9 @@ def cg_solve_segmented(params, X, b, *, kind="rbf", jitter=1e-6,
     the schedule that breaks the tunneled worker's ~per-program ceiling
     (round-3 VERDICT next #3). b may be (n,) or (n, r); precond is
     optional (Lk, Lg, s2) factors from precond_factors[_host].
+
+    x0: optional warm start (see cg_init) — the first segment pays one
+    extra matvec for the true residual.
 
     Returns (x, total_iters, rel_residual) with the residual taken from
     the carried r (fp32 in-loop estimate; callers wanting a certificate
@@ -414,12 +431,18 @@ def cg_solve_segmented(params, X, b, *, kind="rbf", jitter=1e-6,
 
     vec = b.ndim == 1
     b2 = b[:, None] if vec else b
+    if x0 is not None and x0.ndim == 1:
+        x0 = x0[:, None]
     bnorms = np.maximum(np.asarray(jnp.linalg.norm(b2, axis=0)), 1e-30)
 
     state = None
     total = 0
     rel = np.asarray([np.inf])
     while total < max_iters:
+        if state is None and x0 is not None:
+            state = _cg_warm_init_program(params, X, b2, x0, precond,
+                                          kind=kind, jitter=jitter,
+                                          block=block)
         state = _cg_segment_program(params, X, b2, state, precond,
                                     kind=kind, jitter=jitter, block=block,
                                     num_iters=iters_per_program)
@@ -444,6 +467,193 @@ def _cg_segment_program(params, X, b2, state, precond, kind="rbf",
     if state is None:
         state = cg_init(b2, precond_apply=pre)
     return cg_segment(mv, state, num_iters, precond_apply=pre)
+
+
+@partial(jax.jit, static_argnames=("kind", "jitter", "block"))
+def _cg_warm_init_program(params, X, b2, x0, precond, kind="rbf",
+                          jitter=1e-6, block=4096):
+    """Warm-start CGState as its own small program (one matvec)."""
+    mv = make_matvec(params, X, kind=kind, jitter=jitter, block=block)
+    pre = precond_apply_from_factors(*precond) if precond is not None else None
+    return cg_init(b2, precond_apply=pre, x0=x0, matvec=mv)
+
+
+# ---- Segmented Lanczos / SLQ (the cg_segment pattern for the logdet) --
+
+class LanczosState(NamedTuple):
+    q_prev: jnp.ndarray  # (n, p)
+    q: jnp.ndarray       # (n, p)
+    beta: jnp.ndarray    # (p,) — beta feeding the NEXT step
+    it: jnp.ndarray
+
+
+@partial(jax.jit, static_argnames=("kind", "jitter", "block", "num_iters"))
+def _lanczos_segment_program(params, X, Z, state, kind="rbf", jitter=1e-6,
+                             block=4096, num_iters=8):
+    """`num_iters` batched-Lanczos steps as one program.
+
+    state=None starts from the normalized probe block Z (n, p); otherwise
+    resumes the three-term recurrence exactly (it carries only
+    (q_prev, q, beta), so segments compose like cg_segment). Returns
+    (new_state, alphas_chunk (num_iters, p), betas_chunk (num_iters, p)).
+    No reorthogonalization is lost by splitting: the plain SLQ recurrence
+    never had it (see lanczos_tridiag_batched).
+    """
+    mv = make_matvec(params, X, kind=kind, jitter=jitter, block=block)
+    if state is None:
+        q0 = Z / jnp.linalg.norm(Z, axis=0, keepdims=True)
+        state = LanczosState(q_prev=jnp.zeros_like(q0), q=q0,
+                             beta=jnp.zeros((Z.shape[1],), Z.dtype),
+                             it=jnp.asarray(0, jnp.int32))
+
+    def step(carry, _):
+        q_prev, q, beta_prev = carry
+        v = mv(q) - beta_prev[None, :] * q_prev
+        alpha = jnp.sum(q * v, axis=0)
+        v = v - alpha[None, :] * q
+        beta = jnp.linalg.norm(v, axis=0)
+        q_next = v / jnp.where(beta == 0, 1.0, beta)[None, :]
+        return (q, q_next, beta), (alpha, beta)
+
+    (qp, q, b), (alphas, betas) = jax.lax.scan(
+        step, (state.q_prev, state.q, state.beta), None, length=num_iters)
+    return (LanczosState(q_prev=qp, q=q, beta=b, it=state.it + num_iters),
+            alphas, betas)
+
+
+def slq_logdet_segmented(params, X, n, key, *, kind="rbf", jitter=1e-6,
+                         block=4096, num_probes=16, num_steps=32,
+                         iters_per_program=8, verbose=False):
+    """SLQ logdet with the Lanczos recurrence split across programs.
+
+    Equivalent to slq_logdet (same probes, same estimator) but no single
+    program runs more than `iters_per_program` matvecs — the schedule
+    that keeps n=262k inside the tunneled worker's per-program envelope
+    (round-4 VERDICT next #1). Quadrature (tiny (m,m) eigh per probe)
+    runs on the host in float64.
+    """
+    import sys
+
+    import numpy as np
+
+    Z = jax.random.rademacher(key, (n, num_probes), dtype=jnp.float32)
+    state = None
+    a_chunks, b_chunks = [], []
+    done = 0
+    while done < num_steps:
+        seg = min(iters_per_program, num_steps - done)
+        state, al, be = _lanczos_segment_program(
+            params, X, Z, state, kind=kind, jitter=jitter, block=block,
+            num_iters=seg)
+        a_chunks.append(np.asarray(al))
+        b_chunks.append(np.asarray(be))
+        done += seg
+        if verbose:
+            print(f"#   slq_segmented: step={done}/{num_steps}",
+                  file=sys.stderr, flush=True)
+    alphas = np.concatenate(a_chunks, axis=0)       # (m, p)
+    betas = np.concatenate(b_chunks, axis=0)[:-1]   # (m-1, p)
+
+    total = 0.0
+    for j in range(num_probes):
+        t = (np.diag(alphas[:, j].astype(np.float64))
+             + np.diag(betas[:, j].astype(np.float64), 1)
+             + np.diag(betas[:, j].astype(np.float64), -1))
+        evals, evecs = np.linalg.eigh(t)
+        evals = np.maximum(evals, 1e-30)
+        w = evecs[0, :] ** 2
+        total += float(np.sum(w * np.log(evals))) * float(n)
+    return total / num_probes
+
+
+def lml_iterative_segmented(params, X, y, key=None, *, kind="rbf",
+                            jitter=1e-6, block=4096, tol=1e-4,
+                            iters_per_program=16, max_iters=1024,
+                            num_probes=16, num_steps=32, precond=None,
+                            verbose=False):
+    """LML via segmented CG + segmented SLQ — the unbounded-n schedule.
+
+    Same estimator as lml_iterative (CG quadratic term + SLQ logdet) with
+    every device program bounded to ~iters_per_program matvecs; the
+    public large-n path (GP.log_marginal_likelihood_iterative routes
+    here above the single-program envelope). Returns a float.
+    """
+    kernel_ops.validate_kind(kind)
+    if key is None:
+        key = jax.random.key(0)
+    alpha, _it, _rel = cg_solve_segmented(
+        params, X, y, kind=kind, jitter=jitter, block=block, tol=tol,
+        iters_per_program=iters_per_program, max_iters=max_iters,
+        precond=precond, verbose=verbose)
+    n = y.shape[0]
+    logdet = slq_logdet_segmented(
+        params, X, n, key, kind=kind, jitter=jitter, block=block,
+        num_probes=num_probes, num_steps=num_steps,
+        iters_per_program=max(1, iters_per_program // 2), verbose=verbose)
+    quad = float(jnp.dot(y, alpha))
+    return -0.5 * quad - 0.5 * logdet - 0.5 * n * LOG2PI
+
+
+@partial(jax.jit, static_argnames=("kind",))
+def _cross_cov_program(params, X, Xs_chunk, kind="rbf"):
+    """One (n, m_chunk) cross-covariance tile as its own program."""
+    return kernel_ops.cross_covariance_xla(params, X, Xs_chunk, kind)
+
+
+def posterior_iterative_segmented(params, X, y, Xs, *, kind="rbf",
+                                  jitter=1e-6, block=4096, tol=1e-4,
+                                  iters_per_program=16, max_iters=1024,
+                                  include_noise=False, precond=None,
+                                  col_batch=256, verbose=False):
+    """Matrix-free posterior with BOTH large-n safeguards: segmented CG
+    (per-program work bounded regardless of iteration count) and
+    column-tiled test covariance (round-4 VERDICT next #1 + #9).
+
+    The one-program posterior_iterative materializes the full (n, m)
+    cross-covariance and solves all m variance columns in one CG — at
+    n=262k, m=2048 that is ~2 GB of Ks plus 4 same-size CG work vectors.
+    Here test points stream through in `col_batch`-column chunks: each
+    chunk is one small cross-covariance program plus a segmented CG whose
+    per-program iteration count is scaled down with the RHS width so
+    device work per program stays ~constant.
+
+    Returns (mu, var) as (m,) arrays on the host.
+    """
+    import numpy as np
+
+    kernel_ops.validate_kind(kind)
+    n = X.shape[0]
+    m = Xs.shape[0]
+    alpha, _it, _rel = cg_solve_segmented(
+        params, X, y, kind=kind, jitter=jitter, block=block, tol=tol,
+        iters_per_program=iters_per_program, max_iters=max_iters,
+        precond=precond, verbose=verbose)
+    kss = np.asarray(kernel_ops.kernel_diag(params, Xs, kind))
+    if kss.shape == ():
+        kss = np.full(m, float(kss), np.float32)
+    sn2 = float(np.exp(np.asarray(params["log_noise_var"])))
+
+    mus = np.zeros(m, np.float32)
+    var_q = np.zeros(m, np.float32)
+    for j0 in range(0, m, col_batch):
+        Xs_c = Xs[j0:j0 + col_batch]
+        mc = Xs_c.shape[0]
+        Ks_c = _cross_cov_program(params, X, Xs_c, kind=kind)  # (n, mc)
+        mus[j0:j0 + mc] = np.asarray(
+            jnp.matmul(Ks_c.mT, alpha[:, None], precision=_HI)[:, 0])
+        # per-program iteration budget scales inversely with RHS width so
+        # matvec work per program stays ~iters_per_program single-RHS
+        # matvec-equivalents (the crash ceiling is per-program WORK)
+        it_pp = max(1, (iters_per_program * 16) // max(16, mc))
+        w_c, _it, _rel = cg_solve_segmented(
+            params, X, Ks_c, kind=kind, jitter=jitter, block=block,
+            tol=tol, iters_per_program=it_pp, max_iters=max_iters,
+            precond=precond, verbose=verbose)
+        var_q[j0:j0 + mc] = np.asarray(jnp.sum(Ks_c * w_c, axis=0))
+    var = kss - var_q
+    if include_noise:
+        var = var + sn2
+    return jnp.asarray(mus), jnp.asarray(np.maximum(var, 0.0))
 
 
 def lanczos_tridiag(matvec, z, num_steps):
@@ -817,12 +1027,29 @@ def lml_value_and_grad_iterative(params, X, y, key=None, kind="rbf",
 @partial(jax.jit, static_argnames=("kind", "jitter", "block", "tol",
                                    "max_iters"))
 def cg_solve_program(params, X, b, precond=None, kind="rbf", jitter=1e-6,
-                     block=4096, tol=1e-5, max_iters=500):
-    """One CG solve as its own program: (K + noise I) x = b."""
+                     block=4096, tol=1e-5, max_iters=500, x0=None):
+    """One CG solve as its own program: (K + noise I) x = b.
+
+    x0: optional warm start — one extra matvec forms the true residual
+    and CG proceeds from there (see cg_init)."""
     mv = make_matvec(params, X, kind=kind, jitter=jitter, block=block)
     pre = (precond_apply_from_factors(*precond) if precond is not None
            else None)
-    return cg_solve(mv, b, tol=tol, max_iters=max_iters, precond_apply=pre)
+    if x0 is None:
+        return cg_solve(mv, b, tol=tol, max_iters=max_iters,
+                        precond_apply=pre)
+    vec = b.ndim == 1
+    b2 = b[:, None] if vec else b
+    x02 = x0[:, None] if x0.ndim == 1 else x0
+    bnorm = jnp.maximum(jnp.linalg.norm(b2, axis=0), 1e-30)
+    s0 = cg_init(b2, precond_apply=pre, x0=x02, matvec=mv)
+
+    def cond(s):
+        rel = jnp.linalg.norm(s.r, axis=0) / bnorm
+        return (s.it < max_iters) & jnp.any(rel > tol)
+
+    s = jax.lax.while_loop(cond, _cg_body(mv, _cg_apply_m(pre, None)), s0)
+    return (s.x[:, 0] if vec else s.x), s.it
 
 
 @partial(jax.jit, static_argnames=("kind", "jitter", "block"))

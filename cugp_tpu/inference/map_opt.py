@@ -154,10 +154,12 @@ def weak_log_prior(params):
 
 def fit_iterative(init_params, X, y, *, kind="rbf", jitter=1e-6, steps=50,
                   learning_rate=0.05, block=4096, tol=1e-4, max_iters=400,
-                  num_probes=16, precond_rank=128, precond_refresh=10,
+                  num_probes=16, precond_rank=128, precond_refresh="auto",
                   precond_where="auto", split_programs="auto", key=None,
                   log_prior=None, grad_method="ad", callback=None,
                   checkpoint_dir=None, checkpoint_every=5,
+                  segment_iters="auto", probe_mode="fresh",
+                  warm_start=True, refresh_factor=1.5, final_lml=False,
                   verbose=False):
     """Matrix-free MAP fit — hyperparameter LEARNING beyond the dense
     ceiling (round-3 VERDICT next #1: BASELINE.json:5's training loop at
@@ -174,25 +176,44 @@ def fit_iterative(init_params, X, y, *, kind="rbf", jitter=1e-6, steps=50,
     ~100-microsecond host Adam update per step is invisible next to it.
 
     precond_rank > 0: pivoted-Cholesky preconditioner factors, rebuilt
-    every `precond_refresh` steps (hyperparameters move, the
-    preconditioner goes stale) — built on the host (precond_where="host",
-    default on TPU: the rank-k pivot scan is the program class that
-    faults the tunneled worker at n >= 64k) or on device ("device",
-    default elsewhere).
+    when stale — built on the host (precond_where="host", default on
+    TPU: the rank-k pivot scan is the program class that faults the
+    tunneled worker at n >= 64k) or on device ("device", default
+    elsewhere). precond_refresh: int k rebuilds every k steps;
+    "auto" (default) rebuilds ADAPTIVELY — when the step's CG iteration
+    count exceeds `refresh_factor` x the best count seen since the last
+    rebuild (round-4 VERDICT next #5: hyperparameters move unevenly
+    along the trajectory, so a fixed cadence either wastes rebuilds or
+    lets iterations balloon).
     split_programs: True runs solve / probe-solve / gradient-sweep as
     three separate programs (auto: n >= 32768); False fuses them into
     lml_value_and_grad_iterative (cheaper at small n).
+    segment_iters: >0 routes the [y|z] solve through
+    iterative.cg_solve_segmented with that many CG iterations per
+    program — REQUIRED above the single-program envelope (~131k on the
+    tunneled chip); "auto" switches it on at n > 131072 on TPU. Implies
+    split_programs.
+    probe_mode: "fresh" (default) redraws the Rademacher probes each
+    step — unbiased SGD-style gradients; "frozen" draws them once, which
+    fixes a deterministic surrogate objective (the sampler's documented
+    trade, sampling.make_iterative_logprob) but lets warm_start reuse
+    the FULL previous [y|z] solution as x0, cutting per-step CG
+    iterations when theta moves slowly.
+    warm_start: carry the previous step's solution as CG x0 (all columns
+    under probe_mode="frozen"; only the y column applies under "fresh" —
+    probe columns restart at zero since z changed, and batched CG runs
+    until the slowest column converges).
+    final_lml: spend one CG+SLQ evaluation at the fitted params so
+    info["lml"] is a REAL log marginal likelihood (comparable to
+    gp.log_marginal_likelihood()); otherwise info["lml"] is NaN and the
+    quad-only objective lives in info["quad_obj"] (round-4 VERDICT
+    weak #3: the old behavior reported the quad term under "lml").
     callback: optional fn(step, params, value, grads) for metrics.
 
-    Stochasticity note: the probe key is fold_in(key, step), so the
-    trace-term MC noise is fresh each step — Adam sees an unbiased
-    gradient estimate (SGD-style), and num_probes controls its variance.
-
     Returns (params, info): info["loss"] is the per-step NEGATIVE
-    quad-form objective trace (-(-1/2 y^T alpha [+ log prior])); the
-    logdet term is excluded by construction (its gradient is the
-    Hutchinson term, but its value would need SLQ per step — see
-    iterative.lml_iterative for comparable values).
+    quad-form objective trace (-(-1/2 y^T alpha [+ log prior]));
+    info["cg_iters"] the per-step CG iteration counts (the conditioning
+    trace); info["precond_rebuilds"] the number of factor rebuilds.
     """
     import sys
 
@@ -204,15 +225,25 @@ def fit_iterative(init_params, X, y, *, kind="rbf", jitter=1e-6, steps=50,
     kernel_ops.validate_kind(kind)
     if key is None:
         key = jax.random.key(0)
+    if probe_mode not in ("fresh", "frozen"):
+        raise ValueError(f"unknown probe_mode {probe_mode!r}")
     n = X.shape[0]
+    if segment_iters == "auto":
+        segment_iters = (16 if jax.default_backend() == "tpu"
+                         and n > 131072 else 0)
     if split_programs == "auto":
         split_programs = n >= 32768
+    if segment_iters:
+        split_programs = True  # the segmented solver IS the split layout
     if grad_method == "analytic" and split_programs:
         # the split gradient program is the AD sweep; the hand-rule path
         # only exists fused (its per-parameter dK matvecs don't split)
         split_programs = False
     if precond_where == "auto":
         precond_where = "host" if jax.default_backend() == "tpu" else "device"
+    adaptive_refresh = precond_refresh == "auto"
+    if adaptive_refresh:
+        precond_refresh = 10 ** 9  # cadence disabled; staleness-driven
 
     def build_precond(p):
         if not precond_rank:
@@ -260,14 +291,30 @@ def fit_iterative(init_params, X, y, *, kind="rbf", jitter=1e-6, steps=50,
             }, step=step_done, extra_json={"kind": kind, "n": int(n)})
 
     precond = None
+    cg_iters = []
+    rebuilds = 0
+    best_since = float("inf")   # best CG count since last precond build
+    need_rebuild = False
+    z_frozen = (jax.random.rademacher(key, (n, num_probes),
+                                      dtype=jnp.float32)
+                if probe_mode == "frozen" else None)
+    prev_sol = None             # previous step's [y | z] solution
     for step in range(start_step, steps):
-        if precond_rank and (step == start_step
-                             or step % precond_refresh == 0):
+        if precond_rank and (precond is None or need_rebuild
+                             or (not adaptive_refresh
+                                 and step % precond_refresh == 0
+                                 and step > start_step)):
             precond = build_precond(params)
+            rebuilds += 1
+            best_since = float("inf")
+            need_rebuild = False
         kstep = jax.random.fold_in(key, step)
         if split_programs:
-            z = jax.random.rademacher(kstep, (n, num_probes),
-                                      dtype=jnp.float32)
+            if probe_mode == "frozen":
+                z = z_frozen
+            else:
+                z = jax.random.rademacher(kstep, (n, num_probes),
+                                          dtype=jnp.float32)
             # ONE batched CG for [y | z]: the blocked matvec builds each
             # covariance tile once per iteration and contracts it against
             # all probes+rhs together, so 1+p solves cost ~one p-RHS
@@ -275,9 +322,29 @@ def fit_iterative(init_params, X, y, *, kind="rbf", jitter=1e-6, steps=50,
             # separate alpha/probe programs; measured 27.7 -> ~14 s/step
             # at n=100k)
             B = jnp.concatenate([y[:, None], z], axis=1)
-            sol, _ = iterative.cg_solve_program(
-                params, X, B, precond=precond, kind=kind, jitter=jitter,
-                block=block, tol=tol, max_iters=max_iters)
+            x0 = None
+            if warm_start and prev_sol is not None:
+                if probe_mode == "frozen":
+                    x0 = prev_sol       # same b, slowly-moving K
+                else:
+                    # probes changed: only the y column warms up
+                    x0 = jnp.concatenate(
+                        [prev_sol[:, :1], jnp.zeros_like(prev_sol[:, 1:])],
+                        axis=1)
+            if segment_iters:
+                sol, it, _rel = iterative.cg_solve_segmented(
+                    params, X, B, precond=precond, kind=kind,
+                    jitter=jitter, block=block, tol=tol,
+                    iters_per_program=segment_iters, max_iters=max_iters,
+                    x0=x0, verbose=verbose)
+            else:
+                sol, it = iterative.cg_solve_program(
+                    params, X, B, precond=precond, kind=kind,
+                    jitter=jitter, block=block, tol=tol,
+                    max_iters=max_iters, x0=x0)
+                it = int(it)
+            if warm_start:
+                prev_sol = sol
             alpha, w = sol[:, 0], sol[:, 1:]
             grads = iterative.hutchinson_grads_program(
                 params, X, alpha, w, z, kind=kind, jitter=jitter,
@@ -289,6 +356,13 @@ def fit_iterative(init_params, X, y, *, kind="rbf", jitter=1e-6, steps=50,
                 block=block, tol=tol, max_iters=max_iters,
                 num_probes=num_probes, precond=precond,
                 grad_method=grad_method)
+            it = -1  # fused program: count not fetched
+        if it >= 0:
+            cg_iters.append(it)
+            if adaptive_refresh and precond_rank:
+                if it > refresh_factor * best_since:
+                    need_rebuild = True
+                best_since = min(best_since, it)
         if prior_vg is not None:
             pv, pg = prior_vg(params)
             value = value + pv
@@ -304,12 +378,32 @@ def fit_iterative(init_params, X, y, *, kind="rbf", jitter=1e-6, steps=50,
         if callback is not None:
             callback(step, params, float(value), grads)
         if verbose:
-            print(f"# fit_iterative step {step}: quad-obj={-loss:.4f}",
-                  file=sys.stderr, flush=True)
-    if checkpoint_dir:
+            it_msg = f" cg_it={it}" if it >= 0 else ""
+            print(f"# fit_iterative step {step}: quad-obj={-loss:.4f}"
+                  f"{it_msg}", file=sys.stderr, flush=True)
+    if checkpoint_dir and start_step < steps:
+        # guard: resuming a checkpoint whose step already exceeds `steps`
+        # must not rewind the recorded step below the trained state
         save_state(steps)
     info = {"loss": jnp.asarray(np.asarray(losses, np.float32)),
-            "lml": -losses[-1] if losses else float("nan")}
+            "quad_obj": -losses[-1] if losses else float("nan"),
+            "cg_iters": np.asarray(cg_iters, np.int32),
+            "precond_rebuilds": rebuilds,
+            "lml": float("nan")}
+    if final_lml:
+        # one CG+SLQ evaluation at the fitted params: a REAL comparable
+        # LML for info["lml"] (ADVICE round-4 #2 / VERDICT weak #3)
+        if segment_iters:
+            info["lml"] = float(iterative.lml_iterative_segmented(
+                params, X, y, key=key, kind=kind, jitter=jitter,
+                block=block, tol=tol, iters_per_program=segment_iters,
+                max_iters=max_iters, num_probes=num_probes,
+                precond=precond, verbose=verbose))
+        else:
+            info["lml"] = float(iterative.lml_iterative(
+                params, X, y, key=key, kind=kind, jitter=jitter,
+                block=block, tol=tol, max_iters=max_iters,
+                num_probes=num_probes, precond=precond))
     return params, info
 
 

@@ -323,3 +323,191 @@ def fit_lmcq(init_params, X, Y, *, kinds, jitter=1e-6, steps=200,
 
     params, losses = run(init_params, X, Y)
     return params, {"loss": losses, "lml": -losses[-1]}
+
+
+# ---- Matrix-free rank-Q LMC (round-4 VERDICT next #8) -----------------
+# _lmcq_chol materializes the full pn x pn joint covariance — at p=2 the
+# dense tier dies past n ~ 45k on one chip. But the joint operator
+#   Sigma = sum_q (a_q a_q^T) (x) K_q + sn2 I
+# has a matvec that is just Q blocked KERNEL matvecs on mixed vectors:
+#   (Sigma v)[a,:] = sum_q a_q[a] * K_q (sum_b a_q[b] v[b,:]) + sn2 v[a,:]
+# so CG + SLQ lift the rank-Q model to the same n the single-output
+# iterative tier reaches — multi-output no longer skips the large-n
+# story. Layout matches _lmcq_chol: output-major vec (row a*n + i).
+
+
+def make_lmcq_matvec(params, X, kinds, jitter=1e-6, block=4096):
+    """v (pn,) or (pn, r) -> Sigma v without forming Sigma.
+
+    Each latent contributes one blocked kernel matvec
+    (inference.iterative.make_matvec on the unit-amplitude latent params
+    with the noise channel zeroed); the p x p mixing is two einsums.
+    """
+    from cugp_tpu.inference import iterative
+
+    A = params["lmc_a"]                     # (Q, p)
+    Q, p = A.shape
+    n = X.shape[0]
+    sn2 = jnp.exp(params["log_noise_var"])
+    scale = jnp.max(jnp.sum(A ** 2, axis=0))
+    diag_add = sn2 + jitter * scale
+    mvs = []
+    for fp, kind in zip(params["latents"], kinds):
+        lp = _latent_unit_params(fp)
+        # noise-free latent operator: the -60 log-noise makes make_matvec's
+        # diag_add ~ 1e-26 (exactly-zero would need a separate code path;
+        # this is below fp32 resolution of any covariance entry)
+        lp["log_noise_var"] = jnp.asarray(-60.0, jnp.float32)
+        mvs.append(iterative.make_matvec(lp, X, kind=kind, jitter=0.0,
+                                         block=block, method="xla"))
+
+    def matvec(v):
+        vec = v.ndim == 1
+        v2 = v[:, None] if vec else v               # (pn, r)
+        r = v2.shape[1]
+        V = v2.reshape(p, n, r)
+        out = diag_add * V
+        for q in range(Q):
+            w = jnp.einsum("a,anr->nr", A[q], V, precision=_HI)
+            u = mvs[q](w)                           # (n, r)
+            out = out + A[q][:, None, None] * u[None, :, :]
+        out = out.reshape(p * n, r)
+        return out[:, 0] if vec else out
+
+    return matvec
+
+
+@partial(jax.jit, static_argnames=("kinds", "jitter", "block", "tol",
+                                   "max_iters", "num_probes", "num_steps"))
+def log_marginal_likelihood_lmcq_iterative(
+        params, X, Y, kinds, key=None, jitter=1e-6, block=4096, tol=1e-5,
+        max_iters=1000, num_probes=16, num_steps=32):
+    """Matrix-free LML of the rank-Q LMC: CG on the joint operator for
+    the quadratic term + SLQ for the logdet — Sigma (pn x pn) never
+    formed. Matches log_marginal_likelihood_lmcq (dense) at small n to
+    SLQ MC error; the path above the dense pn ceiling."""
+    from cugp_tpu.inference import iterative
+
+    if key is None:
+        key = jax.random.key(0)
+    n, p = Y.shape
+    mv = make_lmcq_matvec(params, X, kinds, jitter=jitter, block=block)
+    yv = Y.T.reshape(-1)
+    alpha, _ = iterative.cg_solve(mv, yv, tol=tol, max_iters=max_iters)
+    logdet = iterative.slq_logdet(mv, p * n, key, num_probes=num_probes,
+                                  num_steps=num_steps)
+    return (-0.5 * jnp.dot(yv, alpha) - 0.5 * logdet
+            - 0.5 * n * p * LOG2PI)
+
+
+def posterior_lmcq_iterative(params, X, Y, Xs, kinds, jitter=1e-6,
+                             block=4096, tol=1e-6, max_iters=1000,
+                             include_noise=False, col_batch=256,
+                             segment_iters=0, verbose=False):
+    """Matrix-free posterior of the rank-Q LMC — mean (m, p) and
+    per-output variance (m, p), Sigma never formed.
+
+    Test points stream in `col_batch` chunks; per chunk the p*mc cross
+    columns C[(a,i),(b,s)] = sum_q a_q[a] a_q[b] K_q[i, s] are assembled
+    from Q (n, mc) latent tiles and solved with batched CG on the joint
+    operator. segment_iters > 0 bounds CG iterations per device program
+    (the cg_segment schedule on the lmcq operator) for the tunneled
+    chip's envelope. Matches posterior_lmcq (dense) at small n.
+    """
+    import numpy as np
+
+    from cugp_tpu.inference import iterative
+
+    A = params["lmc_a"]
+    Q, p = A.shape
+    n = X.shape[0]
+    m = Xs.shape[0]
+    mv = make_lmcq_matvec(params, X, kinds, jitter=jitter, block=block)
+    yv = Y.T.reshape(-1)
+    if segment_iters:
+        alpha, _it, _rel = _lmcq_cg_segmented(
+            params, X, yv[:, None], kinds, jitter=jitter, block=block,
+            tol=tol, iters_per_program=segment_iters, max_iters=max_iters,
+            verbose=verbose)
+        alpha = alpha[:, 0]
+    else:
+        alpha, _ = iterative.cg_solve(mv, yv, tol=tol, max_iters=max_iters)
+    Va = alpha.reshape(p, n)
+
+    # prior variance of output b at xs: sum_q a_qb^2 k_q(xs, xs)
+    diags = jnp.stack([kernel_ops.kernel_diag(
+        _latent_unit_params(fp), Xs, kind) * jnp.ones(m)
+        for fp, kind in zip(params["latents"], kinds)])     # (Q, m)
+    prior = jnp.einsum("qb,qm->mb", A ** 2, diags)          # (m, p)
+
+    sn2 = float(np.exp(np.asarray(params["log_noise_var"])))
+    mu = np.zeros((m, p), np.float32)
+    qvar = np.zeros((m, p), np.float32)
+    for j0 in range(0, m, col_batch):
+        Xs_c = Xs[j0:j0 + col_batch]
+        mc = Xs_c.shape[0]
+        Kq_c = jnp.stack([kernel_ops.cross_covariance(
+            _latent_unit_params(fp), X, Xs_c, kind=kind, method="xla")
+            for fp, kind in zip(params["latents"], kinds)])  # (Q, n, mc)
+        # mean: mu[b,s] = sum_q a_qb (K_q(X,Xs)^T (a_q . alpha))[s]
+        wq = jnp.einsum("qa,an->qn", A, Va, precision=_HI)   # (Q, n)
+        tq = jnp.einsum("qnm,qn->qm", Kq_c, wq, precision=_HI)
+        mu[j0:j0 + mc] = np.asarray(
+            jnp.einsum("qb,qm->mb", A, tq, precision=_HI))
+        # cross columns C (pn, p*mc), output-major on both sides
+        C = jnp.einsum("qa,qb,qnm->anbm", A, A, Kq_c,
+                       precision=_HI).reshape(p * n, p * mc)
+        if segment_iters:
+            it_pp = max(1, (segment_iters * 16) // max(16, p * mc))
+            W, _it, _rel = _lmcq_cg_segmented(
+                params, X, C, kinds, jitter=jitter, block=block, tol=tol,
+                iters_per_program=it_pp, max_iters=max_iters,
+                verbose=verbose)
+        else:
+            W, _ = iterative.cg_solve(mv, C, tol=tol, max_iters=max_iters)
+        qv = jnp.sum(C * W, axis=0).reshape(p, mc)           # (p, mc)
+        qvar[j0:j0 + mc] = np.asarray(qv.T)
+    var = np.asarray(prior) - qvar
+    if include_noise:
+        var = var + sn2
+    return jnp.asarray(mu), jnp.asarray(np.maximum(var, 0.0))
+
+
+@partial(jax.jit, static_argnames=("kinds", "jitter", "block",
+                                   "num_iters"))
+def _lmcq_cg_segment_program(params, X, b2, state, kinds, jitter=1e-6,
+                             block=4096, num_iters=16):
+    """One resumable CG segment on the lmcq joint operator."""
+    from cugp_tpu.inference import iterative
+
+    mv = make_lmcq_matvec(params, X, kinds, jitter=jitter, block=block)
+    if state is None:
+        state = iterative.cg_init(b2)
+    return iterative.cg_segment(mv, state, num_iters)
+
+
+def _lmcq_cg_segmented(params, X, b2, kinds, jitter=1e-6, block=4096,
+                       tol=1e-5, iters_per_program=16, max_iters=1024,
+                       verbose=False):
+    """Host-segmented CG on the joint operator (cg_solve_segmented's
+    schedule for the lmcq matvec): bounded per-program work at any pn."""
+    import sys
+
+    import numpy as np
+
+    bnorms = np.maximum(np.asarray(jnp.linalg.norm(b2, axis=0)), 1e-30)
+    state = None
+    total = 0
+    rel = np.asarray([np.inf])
+    while total < max_iters:
+        state = _lmcq_cg_segment_program(
+            params, X, b2, state, kinds, jitter=jitter, block=block,
+            num_iters=iters_per_program)
+        total += iters_per_program
+        rel = np.asarray(jnp.linalg.norm(state.r, axis=0)) / bnorms
+        if verbose:
+            print(f"#   lmcq_cg: it={total} max_rel={rel.max():.3e}",
+                  file=sys.stderr, flush=True)
+        if float(rel.max()) <= tol:
+            break
+    return state.x, total, float(rel.max())

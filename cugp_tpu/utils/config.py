@@ -48,11 +48,19 @@ class FitConfig:
                                  # Cholesky ceiling; map_opt.fit_iterative)
     # iterative-engine knobs (ignored for engine=dense)
     precond_rank: int = 128      # pivoted-Cholesky preconditioner rank
-    precond_refresh: int = 10    # steps between preconditioner rebuilds
+    precond_refresh: int = 0     # steps between preconditioner rebuilds;
+                                 # 0 = adaptive (rebuild when CG
+                                 # iterations grow 1.5x past the best
+                                 # since the last build)
     num_probes: int = 16         # Hutchinson probes per gradient step
     cg_tol: float = 1e-4
     cg_max_iters: int = 400
     block: int = 4096            # matvec row-block size
+    segment_iters: int = -1      # CG iterations per program; 0 = one
+                                 # program per solve, -1 = auto (segment
+                                 # above the single-program envelope)
+    probe_mode: str = "fresh"    # fresh | frozen (frozen enables full
+                                 # warm-starting across steps)
 
 
 @dataclasses.dataclass

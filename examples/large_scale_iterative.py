@@ -11,9 +11,11 @@ n=131k inference on one TPU chip, PERF.md):
 Usage: python examples/large_scale_iterative.py [--n=8192] [--platform=cpu]
 """
 
+import os
 import sys
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__),
+                                                "..")))
 
 import jax
 import numpy as np

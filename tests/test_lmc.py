@@ -200,3 +200,57 @@ def test_lmcq_fits_mixed_latents_better_than_icm():
     # the periodic latent carries its pattern into the extrapolation
     # region; the shared smooth kernel reverts to the mean
     assert rmse_q < 0.7 * rmse_icm, (rmse_q, rmse_icm)
+
+
+def test_lmcq_iterative_matches_dense():
+    """Matrix-free rank-Q LMC (round-4 VERDICT next #8): CG+SLQ on the
+    sum-of-Kronecker joint operator matches the dense pn x pn path —
+    LML to SLQ MC error, posterior to CG tolerance, segmented schedule
+    included."""
+    rng = np.random.default_rng(3)
+    n, d, p, m = 200, 2, 3, 24
+    X = jnp.asarray(rng.uniform(-2, 2, (n, d)), jnp.float32)
+    Xs = jnp.asarray(rng.uniform(-2, 2, (m, d)), jnp.float32)
+    kinds = ("rbf", "matern32")
+    params = lmc.init_lmcq_params(d, p, kinds, noise_var=0.05, seed=1)
+    Y = jnp.asarray(rng.standard_normal((n, p)), jnp.float32)
+
+    lml_d = float(lmc.log_marginal_likelihood_lmcq(params, X, Y, kinds))
+    lml_i = float(lmc.log_marginal_likelihood_lmcq_iterative(
+        params, X, Y, kinds, block=128, tol=1e-7, num_probes=64,
+        num_steps=40))
+    assert abs(lml_d - lml_i) < 0.005 * abs(lml_d) + 2.0
+
+    mu_d, var_d = lmc.posterior_lmcq(params, X, Y, Xs, kinds)
+    mu_i, var_i = lmc.posterior_lmcq_iterative(
+        params, X, Y, Xs, kinds, block=128, tol=1e-7, col_batch=10)
+    np.testing.assert_allclose(np.asarray(mu_i), np.asarray(mu_d),
+                               atol=5e-3)
+    np.testing.assert_allclose(np.asarray(var_i), np.asarray(var_d),
+                               atol=5e-3)
+    # segmented CG on the joint operator (bounded per-program work)
+    mu_s, var_s = lmc.posterior_lmcq_iterative(
+        params, X, Y, Xs, kinds, block=128, tol=1e-7, col_batch=10,
+        segment_iters=9)
+    np.testing.assert_allclose(np.asarray(mu_s), np.asarray(mu_i),
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(var_s), np.asarray(var_i),
+                               atol=1e-3)
+
+
+def test_lmcq_matvec_matches_dense_operator():
+    """make_lmcq_matvec == dense joint covariance matvec."""
+    rng = np.random.default_rng(4)
+    n, d, p = 96, 2, 2
+    X = jnp.asarray(rng.uniform(-2, 2, (n, d)), jnp.float32)
+    kinds = ("rbf", "rq")
+    params = lmc.init_lmcq_params(d, p, kinds, noise_var=0.07, seed=2)
+    S = np.asarray(lmc.lmcq_covariance(params, X, X, kinds), np.float64)
+    sn2 = float(np.exp(np.asarray(params["log_noise_var"])))
+    scale = float(np.max(np.sum(np.asarray(params["lmc_a"]) ** 2, axis=0)))
+    S += (sn2 + 1e-6 * scale) * np.eye(p * n)
+    v = jnp.asarray(rng.standard_normal((p * n, 3)), jnp.float32)
+    mv = lmc.make_lmcq_matvec(params, X, kinds, block=64)
+    np.testing.assert_allclose(np.asarray(mv(v)),
+                               S @ np.asarray(v, np.float64), rtol=2e-4,
+                               atol=2e-4)
