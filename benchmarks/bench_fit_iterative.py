@@ -16,6 +16,14 @@ Usage:
   python benchmarks/bench_fit_iterative.py [--n=100000] [--d=4]
       [--steps=12] [--lr=0.1] [--rank=128] [--refresh=6] [--probes=8]
       [--tol=1e-4] [--max_iters=300] [--block=4096] [--platform=cpu]
+      [--segment_iters=0] [--probe_mode=fresh] [--warm_start=1]
+
+Round-5 knobs: --refresh=0 selects the ADAPTIVE preconditioner refresh
+(rebuild when CG iterations exceed 1.5x the best since the last build);
+--segment_iters=K bounds every CG program to K iterations (the 262k
+schedule IN the training loop); --probe_mode=frozen freezes the
+Hutchinson probes so --warm_start carries the full [y|z] solution
+across steps (round-4 VERDICT next #1/#5).
 """
 
 import json
@@ -63,6 +71,9 @@ def main(argv=None):
     tol = float(args.get("--tol", 1e-4))
     max_iters = int(args.get("--max_iters", 300))
     block = int(args.get("--block", 4096))
+    segment_iters = int(args.get("--segment_iters", 0))
+    probe_mode = args.get("--probe_mode", "fresh")
+    warm_start = bool(int(args.get("--warm_start", 1)))
 
     from cugp_tpu.inference import map_opt
     from cugp_tpu.ops import kernels as kops
@@ -79,7 +90,9 @@ def main(argv=None):
                             noise_var=0.3)
     out = {"n": n, "d": d, "steps": steps, "rank": rank,
            "refresh": refresh, "probes": probes, "tol": tol,
-           "block": block, "backend": jax.default_backend(),
+           "block": block, "segment_iters": segment_iters,
+           "probe_mode": probe_mode, "warm_start": warm_start,
+           "backend": jax.default_backend(),
            "truth": {"log_lengthscale": round(math.log(true_ell), 4),
                      "log_signal_var": round(math.log(true_sf2), 4),
                      "log_noise_var": round(math.log(true_sn2), 4)}}
@@ -101,14 +114,17 @@ def main(argv=None):
     params, info = map_opt.fit_iterative(
         init, Xj, yj, kind="rbf", steps=steps, learning_rate=lr,
         block=block, tol=tol, max_iters=max_iters, num_probes=probes,
-        precond_rank=rank, precond_refresh=refresh,
+        precond_rank=rank, precond_refresh=(refresh or "auto"),
+        segment_iters=segment_iters, probe_mode=probe_mode,
+        warm_start=warm_start,
         key=jax.random.key(0), callback=cb, verbose=True)
     wall = time.perf_counter() - t0
 
     # steady steps/s: median of post-compile steps that did NOT rebuild
     # the preconditioner (those pay the host pivot loop)
+    refresh_mod = refresh if refresh else steps + 1  # adaptive: keep all
     non_refresh = [w for i, w in enumerate(step_walls)
-                   if i % refresh != 0 and i > 0]
+                   if i % refresh_mod != 0 and i > 0]
     steady = (sorted(non_refresh)[len(non_refresh) // 2] if non_refresh
               else step_walls[-1])
     out.update(
@@ -116,6 +132,8 @@ def main(argv=None):
         steady_step_s=round(steady, 2),
         steady_steps_per_s=round(1.0 / steady, 4),
         first_step_s=round(step_walls[0], 1),
+        cg_iters=np.asarray(info["cg_iters"]).tolist(),
+        precond_rebuilds=int(info["precond_rebuilds"]),
         recovered={k: np.asarray(v).round(4).tolist()
                    for k, v in params.items()},
         abs_err_log_ell=round(float(np.max(np.abs(

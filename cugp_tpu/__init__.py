@@ -21,10 +21,12 @@ import jax as _jax
 if not _os.environ.get("CUGP_TPU_NO_GLOBAL_PRECISION"):
     _jax.config.update("jax_default_matmul_precision", "highest")
 
-from cugp_tpu.api import GP, GPClassifier, SVGP, MultiOutputGP
+from cugp_tpu.api import (GP, GPClassifier, SVGP, MultiOutputGP,
+                          MultiOutputGPQ)
 from cugp_tpu.ops.kernels import init_params, SUPPORTED_KERNELS
 
 __version__ = "0.2.0"
 
-__all__ = ["GP", "GPClassifier", "SVGP", "MultiOutputGP", "init_params",
+__all__ = ["GP", "GPClassifier", "SVGP", "MultiOutputGP",
+           "MultiOutputGPQ", "init_params",
            "SUPPORTED_KERNELS", "__version__"]

@@ -880,3 +880,135 @@ class MultiOutputGP:
         model.X = jnp.asarray(tree["X"])
         model.Y = jnp.asarray(tree["Y"])
         return model
+
+
+@dataclasses.dataclass
+class MultiOutputGPQ:
+    """Rank-Q LMC multi-output GP with DISTINCT latent kernels
+    (models/lmc.py's lmcq family): joint prior sum_q (a_q a_q^T) (x) K_q
+    — e.g. one periodic + one RBF latent process mixing into p outputs.
+
+    Unlike MultiOutputGP (ICM: one shared kernel, eigendecomposition
+    rotation), the rank-Q model has no common rotation; exact inference
+    factors the dense pn x pn covariance — OR, past the dense ceiling,
+    runs matrix-free on the sum-of-Kronecker operator
+    (predict_iterative / log_marginal_likelihood_iterative: CG + SLQ,
+    Sigma never formed; round-4 VERDICT next #8).
+    """
+
+    kinds: tuple = ("rbf", "rbf")
+    jitter: float = 1e-6
+    params: Optional[dict] = None
+    X: Optional[Any] = None
+    Y: Optional[Any] = None
+
+    def _kinds(self):
+        return tuple(self.kinds)
+
+    def fit(self, X, Y, *, steps=200, learning_rate=0.05, init=None,
+            seed=0):
+        from cugp_tpu.models import lmc
+
+        X = jnp.asarray(X, jnp.float32)
+        Y = jnp.asarray(Y, jnp.float32)
+        if Y.ndim != 2:
+            raise ValueError(f"Y must be (n, p); got {Y.shape}")
+        if init is None:
+            init = lmc.init_lmcq_params(d=X.shape[1], p=Y.shape[1],
+                                        kinds=self._kinds(), seed=seed)
+        params, info = lmc.fit_lmcq(init, X, Y, kinds=self._kinds(),
+                                    jitter=self.jitter, steps=steps,
+                                    learning_rate=learning_rate)
+        self.params, self.X, self.Y = params, X, Y
+        return info
+
+    def condition(self, X, Y, params=None, seed=0):
+        """Attach data (and optionally params) without fitting."""
+        from cugp_tpu.models import lmc
+
+        self.X = jnp.asarray(X, jnp.float32)
+        self.Y = jnp.asarray(Y, jnp.float32)
+        self.params = params or lmc.init_lmcq_params(
+            d=self.X.shape[1], p=self.Y.shape[1], kinds=self._kinds(),
+            seed=seed)
+        return self
+
+    def predict(self, Xs, *, include_noise=False):
+        """Dense posterior: mean (m, p) and per-output variance (m, p)."""
+        from cugp_tpu.models import lmc
+
+        if self.params is None:
+            raise RuntimeError("call fit() or condition() first")
+        return lmc.posterior_lmcq(
+            self.params, self.X, self.Y, jnp.asarray(Xs, jnp.float32),
+            self._kinds(), jitter=self.jitter,
+            include_noise=include_noise)
+
+    def predict_iterative(self, Xs, *, include_noise=False, block=4096,
+                          tol=1e-6, max_iters=1000, col_batch=256,
+                          segment_iters="auto"):
+        """Matrix-free posterior on the joint operator — the path past
+        the dense pn ceiling (p=2, n=45k+ on one chip). segment_iters
+        "auto" bounds per-program CG work above the single-program
+        envelope."""
+        from cugp_tpu.models import lmc
+
+        if self.params is None:
+            raise RuntimeError("call fit() or condition() first")
+        if segment_iters == "auto":
+            pn = self.X.shape[0] * self.Y.shape[1]
+            segment_iters = (16 if jax.default_backend() == "tpu"
+                             and pn > 131072 else 0)
+        return lmc.posterior_lmcq_iterative(
+            self.params, self.X, self.Y, jnp.asarray(Xs, jnp.float32),
+            self._kinds(), jitter=self.jitter, block=block, tol=tol,
+            max_iters=max_iters, include_noise=include_noise,
+            col_batch=col_batch, segment_iters=int(segment_iters))
+
+    def log_marginal_likelihood(self):
+        from cugp_tpu.models import lmc
+
+        if self.params is None:
+            raise RuntimeError("call fit() or condition() first")
+        return lmc.log_marginal_likelihood_lmcq(
+            self.params, self.X, self.Y, self._kinds(),
+            jitter=self.jitter)
+
+    def log_marginal_likelihood_iterative(self, *, block=4096,
+                                          num_probes=16, num_steps=32,
+                                          key=None):
+        """Matrix-free LML (CG + SLQ on the joint operator)."""
+        from cugp_tpu.models import lmc
+
+        if self.params is None:
+            raise RuntimeError("call fit() or condition() first")
+        return lmc.log_marginal_likelihood_lmcq_iterative(
+            self.params, self.X, self.Y, self._kinds(),
+            key=key or jax.random.key(0), jitter=self.jitter,
+            block=block, num_probes=num_probes, num_steps=num_steps)
+
+    def save(self, path):
+        from cugp_tpu.utils import checkpoint
+
+        checkpoint.save(
+            path, {"params": self.params, "X": self.X, "Y": self.Y},
+            extra_json={"kinds": list(self._kinds()),
+                        "jitter": self.jitter, "model": "lmcq",
+                        "param_struct": _tree_struct(self.params)})
+
+    @classmethod
+    def load(cls, path):
+        from cugp_tpu.utils import checkpoint
+
+        meta0 = checkpoint.peek_meta(path)
+        if meta0 is None:
+            raise FileNotFoundError(path)
+        extra = meta0.get("extra", {})
+        probe = {"params": _probe_from_struct(extra["param_struct"]),
+                 "X": np.zeros((1, 1)), "Y": np.zeros((1, 1))}
+        tree, _meta = checkpoint.restore(path, probe)
+        model = cls(kinds=tuple(extra["kinds"]), jitter=extra["jitter"])
+        model.params = jax.tree.map(jnp.asarray, tree["params"])
+        model.X = jnp.asarray(tree["X"])
+        model.Y = jnp.asarray(tree["Y"])
+        return model

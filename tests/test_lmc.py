@@ -254,3 +254,32 @@ def test_lmcq_matvec_matches_dense_operator():
     np.testing.assert_allclose(np.asarray(mv(v)),
                                S @ np.asarray(v, np.float64), rtol=2e-4,
                                atol=2e-4)
+
+
+def test_multioutput_gpq_facade():
+    """MultiOutputGPQ: fit/predict/lml (dense + iterative) + persistence."""
+    from cugp_tpu.api import MultiOutputGPQ
+
+    rng = np.random.default_rng(5)
+    X = rng.uniform(-2, 2, (120, 2))
+    Y = rng.standard_normal((120, 2))
+    m = MultiOutputGPQ(kinds=("rbf", "matern32"))
+    info = m.fit(X, Y, steps=20, learning_rate=0.1)
+    assert np.isfinite(float(info["lml"]))
+    mu, var = m.predict(X[:8])
+    mu_i, var_i = m.predict_iterative(X[:8], tol=1e-7, block=64,
+                                      segment_iters=0)
+    np.testing.assert_allclose(np.asarray(mu_i), np.asarray(mu), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(var_i), np.asarray(var),
+                               atol=1e-3)
+    l_d = float(m.log_marginal_likelihood())
+    l_i = float(m.log_marginal_likelihood_iterative(block=64,
+                                                    num_probes=64))
+    assert abs(l_d - l_i) < 0.01 * abs(l_d) + 2.0
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        m.save(d + "/m")
+        m2 = MultiOutputGPQ.load(d + "/m")
+        mu2, _ = m2.predict(X[:8])
+        np.testing.assert_array_equal(np.asarray(mu2), np.asarray(mu))
