@@ -182,6 +182,7 @@ def test_sharded_gradients_composite(mesh2d):
     np.testing.assert_allclose(s_flat, r_flat, rtol=2e-3, atol=atol)
 
 
+@pytest.mark.deep
 def test_fit_iterative_sharded_matches_single_device(mesh2d):
     """The distributed training loop (round-4 VERDICT next #3: the ring
     tier LEARNS) matches single-device fit_iterative on the same
@@ -205,6 +206,7 @@ def test_fit_iterative_sharded_matches_single_device(mesh2d):
     assert np.isfinite(np.asarray(i_sh["loss"])).all()
 
 
+@pytest.mark.deep
 def test_sharded_logprob_matches_iterative(mesh2d):
     """make_sharded_logprob == make_iterative_logprob given identical
     frozen probes: same target value and gradient (round-4 VERDICT next
@@ -230,6 +232,7 @@ def test_sharded_logprob_matches_iterative(mesh2d):
                                    rtol=5e-3, atol=5e-3)
 
 
+@pytest.mark.deep
 def test_sample_hyperparams_sharded_moments(mesh2d):
     """Chains over the sharded LML agree with the single-device
     iterative sampler in posterior moments (same probes/config/keys)."""

@@ -34,6 +34,7 @@ def _run(data, ckpt_dir, num_samples, **kw):
         sampler="hmc", n_leapfrog=8, key=jax.random.key(3), **kw)
 
 
+@pytest.mark.deep
 def test_resume_reproduces_uninterrupted_run(data, tmp_path):
     # uninterrupted 24 draws
     full = _run(data, os.path.join(tmp_path, "full"), 24)
@@ -158,6 +159,7 @@ def test_engine_mismatch_rejected(data, tmp_path):
              precond_rank=8)
 
 
+@pytest.mark.deep
 def test_cli_sample_iterative_checkpoint(tmp_path, capsys):
     """--sample.engine=iterative composes with --checkpoint_dir from the
     CLI (the round-4 lockout is gone)."""

@@ -202,6 +202,7 @@ def test_lmcq_fits_mixed_latents_better_than_icm():
     assert rmse_q < 0.7 * rmse_icm, (rmse_q, rmse_icm)
 
 
+@pytest.mark.deep
 def test_lmcq_iterative_matches_dense():
     """Matrix-free rank-Q LMC (round-4 VERDICT next #8): CG+SLQ on the
     sum-of-Kronecker joint operator matches the dense pn x pn path —
