@@ -74,6 +74,10 @@ def main(argv=None):
     segment_iters = int(args.get("--segment_iters", 0))
     probe_mode = args.get("--probe_mode", "fresh")
     warm_start = bool(int(args.get("--warm_start", 1)))
+    checkpoint_dir = args.get("--checkpoint_dir")  # resume across bench
+    # invocations (fit_iterative's own checkpoint/resume, C16): a second
+    # run with a larger --steps continues the SAME trajectory instead of
+    # restarting — how envelope-scale captures survive session limits
 
     from cugp_tpu.inference import map_opt
     from cugp_tpu.ops import kernels as kops
@@ -88,6 +92,16 @@ def main(argv=None):
     # deliberately wrong init
     init = kops.init_params(d=d, lengthscale=0.6, signal_var=0.3,
                             noise_var=0.3)
+    if "--init_from" in args:
+        # continuation runs: start from a previous capture's "recovered"
+        # dict (JSON file) — extends the trajectory when one session's
+        # step budget isn't enough at envelope-scale n (Adam moments
+        # reset; errors still reported vs the same generating truth)
+        with open(args["--init_from"]) as f:
+            prev = json.load(f)
+        rec = prev.get("recovered", prev)
+        init = {k: jnp.asarray(np.asarray(v, np.float32))
+                for k, v in rec.items()}
     out = {"n": n, "d": d, "steps": steps, "rank": rank,
            "refresh": refresh, "probes": probes, "tol": tol,
            "block": block, "segment_iters": segment_iters,
@@ -116,7 +130,8 @@ def main(argv=None):
         block=block, tol=tol, max_iters=max_iters, num_probes=probes,
         precond_rank=rank, precond_refresh=(refresh or "auto"),
         segment_iters=segment_iters, probe_mode=probe_mode,
-        warm_start=warm_start,
+        warm_start=warm_start, checkpoint_dir=checkpoint_dir,
+        checkpoint_every=1,
         key=jax.random.key(0), callback=cb, verbose=True)
     wall = time.perf_counter() - t0
 
