@@ -89,6 +89,21 @@ def main(argv=None):
         logprob_and_grad, _unravel, q0 = sampling.make_flat_logprob(
             init, Xj, yj, kind="rbf", method="auto")
 
+    def cg_diag(state):
+        """Per-transition CG cost evidence for the iterative engine
+        (round-4 VERDICT missing #2): iteration count of one solve at
+        the init params vs at a post-run chain position, both under the
+        init-time preconditioner — the spread IS the staleness cost."""
+        if engine != "iterative":
+            return {}
+        q_end = jax.tree.map(lambda a: a[0], state.q)
+        return {
+            "cg_iters_at_init": sampling.cg_diagnostic(
+                init, precond, Xj, yj, kind="rbf"),
+            "cg_iters_at_chain_end": sampling.cg_diagnostic(
+                _unravel(q_end), precond, Xj, yj, kind="rbf"),
+        }
+
     if sampler == "nuts":
         kernel = nuts_lib.make_nuts_kernel(logprob_and_grad, max_depth=6,
                                            chain_block=chain_block)
@@ -176,6 +191,7 @@ def main(argv=None):
         "first_batch_s": round(batch_times[0], 2),
         "steady_batch_s": round(steady, 2),
         "accept_rate": round(sum(accepts) / len(accepts), 3),
+        **cg_diag(state),
         "backend": jax.default_backend(),
     }))
 

@@ -58,10 +58,10 @@ def _cov_kernel(scal_ref, x1_ref, x2_ref, out_ref, *, kind, square, n1, n2,
     """
     i = pl.program_id(0)
     j = pl.program_id(1)
-    sf2 = scal_ref[0]
-    diag_add = scal_ref[1]
+    sf2 = scal_ref[0, 0]
+    diag_add = scal_ref[0, 1]
     # family-specific scalar slot: rq mixture alpha / linear bias variance
-    alpha = scal_ref[2]
+    alpha = scal_ref[0, 2]
 
     if d_true is not None:
         dp8 = -(-d_true // 8) * 8
@@ -131,6 +131,11 @@ _SMALL_D = 32  # at or below: narrow-K MXU contraction path (see _cov_kernel)
 )
 def _cov_pallas(xs1, xs2, scalars, kind, square, n1, n2, d_true, interpret,
                 bm=_BM, bn=_BN, fused_exp=True):
+    # scalars ride SMEM as (1, 3): a batched (vmapped) call then sees
+    # (B, 1, 3) whose auto-blocked (1, 3) tile satisfies Mosaic's
+    # last-two-dims rule — the 1-D (3,) layout fails to lower under vmap
+    # (block (1,) over dim B). Round-5 fix; see test_cov_pallas vmap suite.
+    scalars = scalars.reshape(1, 3)
     m = xs1.shape[0]
     if d_true is not None:
         d = xs1.shape[1]
@@ -280,9 +285,9 @@ def _cov_matvec_kernel(scal_ref, x1_ref, x2_ref, v_ref, out_ref, *, kind,
     """
     i = pl.program_id(0)
     j = pl.program_id(1)
-    sf2 = scal_ref[0]
-    diag_add = scal_ref[1]
-    alpha = scal_ref[2]
+    sf2 = scal_ref[0, 0]
+    diag_add = scal_ref[0, 1]
+    alpha = scal_ref[0, 2]
 
     dp8 = -(-d_true // 8) * 8
     x1 = x1_ref[:]
@@ -326,6 +331,7 @@ def _cov_matvec_kernel(scal_ref, x1_ref, x2_ref, v_ref, out_ref, *, kind,
 @functools.partial(jax.jit, static_argnames=("kind", "n", "d_true",
                                              "interpret"))
 def _cov_matvec_call(xs1, xs2t, v, scalars, kind, n, d_true, interpret):
+    scalars = scalars.reshape(1, 3)  # see _cov_pallas: vmap-lowerable SMEM
     npad = xs1.shape[0]
     dp8 = xs2t.shape[0]
     d = xs1.shape[1]

@@ -110,3 +110,37 @@ def test_pallas_cross_builder_is_differentiable(rng, default_params):
     for k in g_x:
         np.testing.assert_allclose(np.asarray(g_p[k]), np.asarray(g_x[k]),
                                    rtol=1e-3, atol=1e-3)
+
+
+def test_pallas_kernels_match_under_vmap(rng, default_params):
+    """Batched (vmapped) Pallas builder/matvec == per-example loop.
+
+    Regression for the round-5 TPU lowering fix: SMEM scalars must be
+    (1, 3) so the vmap-batched array (B, 1, 3) blocks legally on Mosaic
+    (the 1-D (3,) layout failed to lower inside the vmapped iterative
+    sampler — chains vmap over hyperparameters); also certifies the
+    kernels' program_id tile indexing survives the prepended batch grid
+    dim (diag placement would silently corrupt otherwise).
+    """
+    import jax
+    from cugp_tpu.ops import kernels as kops
+
+    n, d, B = 384, 2, 3
+    X = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((n, 8)), jnp.float32)
+    ps = [kops.init_params(d=d, lengthscale=0.5 + 0.3 * b,
+                           signal_var=1.0 + b, noise_var=0.05 * (b + 1))
+          for b in range(B)]
+    stack = jax.tree.map(lambda *a: jnp.stack(a), *ps)
+
+    f = lambda p: cov_pallas.train_cov_matvec_pallas(p, X, v, kind="rbf")
+    mv_loop = jnp.stack([f(p) for p in ps])
+    mv_vmap = jax.vmap(f)(stack)
+    np.testing.assert_allclose(np.asarray(mv_vmap), np.asarray(mv_loop),
+                               rtol=1e-6, atol=1e-6)
+
+    g = lambda p: cov_pallas.train_covariance_pallas(p, X, kind="rbf")
+    k_loop = jnp.stack([g(p) for p in ps])
+    k_vmap = jax.vmap(g)(stack)
+    np.testing.assert_allclose(np.asarray(k_vmap), np.asarray(k_loop),
+                               rtol=1e-6, atol=1e-6)
