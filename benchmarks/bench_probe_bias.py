@@ -53,7 +53,13 @@ def main(argv=None):
     X, y, _ = synthetic.sinusoid_1d(n=n, noise_std=0.2, seed=0)
     X, y = jnp.asarray(X, jnp.float32), jnp.asarray(y, jnp.float32)
     init = kops.init_params(d=1, lengthscale=0.8, noise_var=0.05)
-    common = dict(num_samples=draws, num_chains=4, num_warmup=128,
+    # cost knobs (round-5: the original fixed config — 320 transitions x
+    # 32 leapfrog x tol=1e-6 CG x 6 rows — costs HOURS of CPU; size the
+    # run to the box)
+    warmup = int(args.get("--warmup", 128))
+    leapfrog = int(args.get("--leapfrog", 32))
+    tol = float(args.get("--tol", 1e-6))
+    common = dict(num_samples=draws, num_chains=4, num_warmup=warmup,
                   sampler="hmc", key=jax.random.key(0))
 
     ref = sampling.sample_hyperparams(init, X, y, **common)
@@ -67,9 +73,9 @@ def main(argv=None):
     for probes in (8, 32, 128):
         for pk_seed in (7, 77):
             res = sampling.sample_hyperparams_iterative(
-                init, X, y, block=256, tol=1e-6, max_iters=1500,
+                init, X, y, block=256, tol=tol, max_iters=1500,
                 num_probes=probes, num_steps=min(40, 8 + probes),
-                probe_key=jax.random.key(pk_seed), n_leapfrog=32,
+                probe_key=jax.random.key(pk_seed), n_leapfrog=leapfrog,
                 eps0=0.1, **common)
             mom = _moments(res)
             drift = {k: round(abs(mom[k][0] - ref_m[k][0])
